@@ -1,0 +1,469 @@
+"""DOM-backed PAGE-XML document (reference: python_util/parser/xml/page/page.py).
+
+Load / mutate / save PAGE-XML files. The DOM stays the source of truth so
+elements we don't model round-trip untouched; accessors materialize typed
+objects on demand. Validation is structural (namespace + required nesting)
+rather than XSD-based — the reference ships Transkribus XSDs, we check the
+same invariants in code.
+"""
+from __future__ import annotations
+
+import datetime
+import logging
+from typing import Dict, List, Optional, Tuple
+
+from lxml import etree
+
+from citlab_as_tpu.pagexml import constants as C
+from citlab_as_tpu.pagexml.objects import (
+    REGIONS_DICT, PageXmlError, TextLine, TextRegion, Word,
+    format_custom_attr, parse_custom_attr, string_to_points,
+)
+
+logger = logging.getLogger(__name__)
+
+_NSMAP = {"pc": C.NS_PAGE_XML}
+
+
+def _utc_now() -> str:
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None).isoformat() + "Z"
+
+
+class Metadata:
+    def __init__(self, creator, created, last_change, comments=None, transkribus_meta=None):
+        self.Creator = creator
+        self.Created = created
+        self.LastChange = last_change
+        self.Comments = comments
+        self.TranskribusMeta = transkribus_meta
+
+
+class TranskribusMetadata:
+    def __init__(self, docId=None, pageId=None, pageNr=None, tsid=None, status=None,
+                 userId=None, imgUrl=None, xmlUrl=None, imageId=None):
+        self.docId = docId
+        self.pageId = pageId
+        self.pageNr = pageNr
+        self.tsid = tsid
+        self.status = status
+        self.userId = userId
+        self.imgUrl = imgUrl
+        self.xmlUrl = xmlUrl
+        self.imageId = imageId
+
+
+class Page:
+    """Load, inspect, mutate and save a PAGE-XML document (page.py:27-891)."""
+
+    def __init__(self, path_to_xml=None, creator_name=C.CREATOR,
+                 img_filename=None, img_w=None, img_h=None):
+        if path_to_xml is not None:
+            self.page_doc = self.load_page_xml(path_to_xml)
+        else:
+            self.page_doc = self.create_page_xml_document(
+                creator_name, img_filename, img_w or 0, img_h or 0)
+        # repair a missing Metadata node (page.py:35-40)
+        root = self.page_doc.getroot()
+        local_names = [etree.QName(e.tag).localname for e in root]
+        if C.METADATA not in local_names:
+            self.create_metadata(creator_name, comments="Metadata entry was missing, added.")
+        if not self.validate(self.page_doc):
+            logger.debug("File given by %s is not a valid PAGE-XML file.", path_to_xml)
+        self.metadata = self.get_metadata()
+        self.textlines = self.get_textlines()
+
+    # ---------------- validation ----------------
+    @staticmethod
+    def validate(doc) -> bool:
+        """Structural validation: PcGts root in the PAGE namespace with a
+        Metadata (Creator/Created/LastChange prefix) and a Page node carrying
+        image dimensions."""
+        try:
+            root = doc.getroot()
+        except AttributeError:
+            root = doc
+        if etree.QName(root.tag).namespace != C.NS_PAGE_XML:
+            return False
+        if etree.QName(root.tag).localname != "PcGts":
+            return False
+        pages = root.findall(f"{{{C.NS_PAGE_XML}}}Page")
+        if len(pages) != 1:
+            return False
+        page_nd = pages[0]
+        if page_nd.get("imageWidth") is None or page_nd.get("imageHeight") is None:
+            return False
+        meta = root.findall(f"{{{C.NS_PAGE_XML}}}{C.METADATA}")
+        if len(meta) != 1:
+            return False
+        names = [etree.QName(e.tag).localname for e in meta[0]]
+        return names[:3] == [C.CREATOR_ELT, C.CREATED_ELT, C.LAST_CHANGE_ELT]
+
+    # ---------------- XML helpers ----------------
+    @classmethod
+    def get_child_by_name(cls, elt, child_name):
+        """All descendant elements with that local name in the PAGE namespace."""
+        if hasattr(elt, "getroot"):
+            elt = elt.getroot()
+        return elt.xpath(f".//pc:{child_name}", namespaces=_NSMAP)
+
+    @classmethod
+    def get_child_by_id(cls, elt, _id):
+        if hasattr(elt, "getroot"):
+            elt = elt.getroot()
+        return elt.xpath(f".//*[@id='{_id}']")
+
+    def get_ancestor_by_name(self, elt, name):
+        return elt.xpath(f"ancestor::pc:{name}", namespaces=_NSMAP)
+
+    def get_ancestor_by_id(self, elt, _id):
+        return elt.xpath(f"ancestor::*[@id='{_id}']")
+
+    @classmethod
+    def create_page_xml_node(cls, node_name):
+        return etree.Element("{%s}%s" % (C.NS_PAGE_XML, node_name))
+
+    @staticmethod
+    def remove_page_xml_node(nd) -> None:
+        nd.getparent().remove(nd)
+
+    def insert_page_xml_node(self, parent_nd, node_name):
+        node = self.create_page_xml_node(node_name)
+        parent_nd.append(node)
+        return node
+
+    # ---------------- custom attribute ----------------
+    parse_custom_attr = staticmethod(parse_custom_attr)
+
+    def get_custom_attr(self, nd, attr_name, sub_attr_name=None):
+        """First- or second-level lookup in the parsed custom attribute;
+        raises KeyError if missing (page.py:241-254)."""
+        c = nd.get(C.CUSTOM_ATTR)
+        if c is None:
+            return None
+        ddic = parse_custom_attr(c)
+        if sub_attr_name is None:
+            return ddic[attr_name]
+        return ddic[attr_name][sub_attr_name]
+
+    def set_custom_attr_from_dict(self, nd, custom_dict):
+        nd.set(C.CUSTOM_ATTR, format_custom_attr(custom_dict))
+        return nd
+
+    def set_custom_attr(self, nd, attr_name, sub_attr_name, val):
+        ddic = parse_custom_attr(nd.get(C.CUSTOM_ATTR))
+        ddic.setdefault(attr_name, {})[sub_attr_name] = str(val)
+        nd.set(C.CUSTOM_ATTR, format_custom_attr(ddic))
+        return val
+
+    def remove_custom_attr(self, nd, attr_name, sub_attr_name):
+        ddic = parse_custom_attr(nd.get(C.CUSTOM_ATTR))
+        if attr_name in ddic and sub_attr_name in ddic[attr_name]:
+            ddic[attr_name].pop(sub_attr_name)
+            nd.set(C.CUSTOM_ATTR, format_custom_attr(ddic))
+        else:
+            logger.debug("Can't remove %s from %s.", sub_attr_name, attr_name)
+
+    # ---------------- text / points ----------------
+    @classmethod
+    def get_text_equiv(cls, nd) -> str:
+        text_equivs = nd.xpath("./pc:%s" % C.TEXTEQUIV, namespaces=_NSMAP)
+        if not text_equivs:
+            return ""
+        unicodes = text_equivs[-1].xpath(".//pc:%s" % C.UNICODE, namespaces=_NSMAP)
+        if not unicodes:
+            return ""
+        return unicodes[0].text or ""
+
+    @staticmethod
+    def make_text(nd) -> str:
+        return " ".join(nd.itertext())
+
+    @staticmethod
+    def get_point_list(data):
+        """Point list from a @points string or a node carrying one
+        (page.py:352-372); returns None on malformed coordinates."""
+        if isinstance(data, str):
+            s_points = data
+        else:
+            pts = data.xpath("(.//@points)[1]")
+            if not pts:
+                return None
+            s_points = pts[0]
+        try:
+            return string_to_points(s_points)
+        except PageXmlError:
+            return None
+
+    @staticmethod
+    def set_points(nd, l_xy):
+        s = " ".join("%d,%d" % (int(x), int(y)) for x, y in l_xy)
+        if nd is not None:
+            nd.set(C.POINTS_ATTR, s)
+        return s
+
+    # ---------------- metadata ----------------
+    def _metadata_nd(self):
+        l_nd = self.page_doc.getroot().findall(f"{{{C.NS_PAGE_XML}}}{C.METADATA}")
+        if len(l_nd) != 1:
+            raise ValueError(f"PAGE-XML should have exactly one {C.METADATA} node, found {len(l_nd)}")
+        return l_nd[0]
+
+    def get_metadata(self) -> Metadata:
+        meta_nd = self._metadata_nd()
+        by_name = {}
+        for child in meta_nd:
+            by_name.setdefault(etree.QName(child.tag).localname, child)
+        tk_nd = by_name.get(C.TRANSKRIBUS_METADATA_ELT)
+        tk = None
+        if tk_nd is not None:
+            tk = TranskribusMetadata(**{k: tk_nd.get(k) for k in (
+                "docId", "pageId", "pageNr", "tsid", "status", "userId",
+                "imgUrl", "xmlUrl", "imageId")})
+        comments_nd = by_name.get(C.COMMENTS_ELT)
+        return Metadata(
+            by_name[C.CREATOR_ELT].text if C.CREATOR_ELT in by_name else None,
+            by_name[C.CREATED_ELT].text if C.CREATED_ELT in by_name else None,
+            by_name[C.LAST_CHANGE_ELT].text if C.LAST_CHANGE_ELT in by_name else None,
+            comments_nd.text if comments_nd is not None else None,
+            tk,
+        )
+
+    def set_metadata(self, creator, comments=None) -> None:
+        """Bump LastChange; update/create Comments if given (page.py:113-142)."""
+        meta_nd = self._metadata_nd()
+        by_name = {}
+        for child in meta_nd:
+            by_name.setdefault(etree.QName(child.tag).localname, child)
+        by_name[C.LAST_CHANGE_ELT].text = _utc_now()
+        if comments is not None:
+            comments_nd = by_name.get(C.COMMENTS_ELT)
+            if comments_nd is None:
+                comments_nd = etree.SubElement(meta_nd, "{%s}%s" % (C.NS_PAGE_XML, C.COMMENTS_ELT))
+            comments_nd.text = comments
+
+    def create_metadata(self, creator_name=C.CREATOR, comments=None):
+        root = self.page_doc.getroot()
+        metadata = self.create_page_xml_node(C.METADATA)
+        root.insert(0, metadata)
+        for name, text in ((C.CREATOR_ELT, creator_name), (C.CREATED_ELT, _utc_now()),
+                           (C.LAST_CHANGE_ELT, _utc_now())):
+            nd = etree.SubElement(metadata, "{%s}%s" % (C.NS_PAGE_XML, name))
+            nd.text = text
+        if comments is not None:
+            nd = etree.SubElement(metadata, "{%s}%s" % (C.NS_PAGE_XML, C.COMMENTS_ELT))
+            nd.text = comments
+        return metadata
+
+    # ---------------- page-level accessors ----------------
+    def get_image_resolution(self) -> Tuple[int, int]:
+        page_nd = self.get_child_by_name(self.page_doc, "Page")[0]
+        return int(page_nd.get("imageWidth")), int(page_nd.get("imageHeight"))
+
+    def get_image_filename(self) -> Optional[str]:
+        page_nd = self.get_child_by_name(self.page_doc, "Page")[0]
+        return page_nd.get("imageFilename")
+
+    def get_print_space_coords(self) -> List[Tuple[int, int]]:
+        """PrintSpace rectangle coords, clamped at 0; image extent fallback
+        (page.py:417-454)."""
+        ps_nds = self.get_child_by_name(self.page_doc, C.PRINT_SPACE)
+        if len(ps_nds) != 1:
+            w, h = self.get_image_resolution()
+            return [(0, 0), (w, 0), (w, h), (0, h)]
+        coords_nd = self.get_child_by_name(ps_nds[0], C.COORDS)[0]
+        ps_coords = self.get_point_list(coords_nd.get(C.POINTS_ATTR))
+        ps_coords = [(max(0, x), max(0, y)) for x, y in ps_coords]
+        if len(ps_coords) != 4:
+            raise PageXmlError(
+                f"Expected exactly four PrintSpace coordinates, got {len(ps_coords)}.")
+        return ps_coords
+
+    def get_ids(self) -> List[str]:
+        return self.page_doc.xpath("//@id")
+
+    def get_unique_id(self, page_object_name: str) -> Optional[str]:
+        existing = set(self.get_ids())
+        for i in range(1, 1001):
+            new_id = f"{page_object_name}_{i}"
+            if new_id not in existing:
+                return new_id
+        return None
+
+    # ---------------- regions ----------------
+    def get_text_regions(self, text_region_type=None) -> List[TextRegion]:
+        """All TextRegions (typeless ones count as 'paragraph'), optionally
+        filtered by type (page.py:479-506)."""
+        res = []
+        for nd in self.get_child_by_name(self.page_doc, C.TEXTREGION):
+            tr_type = nd.get("type") or C.TextRegionTypes.PARAGRAPH
+            if text_region_type is not None and tr_type != text_region_type:
+                continue
+            coords = self.get_point_list(
+                self.get_child_by_name(nd, C.COORDS)[0].get(C.POINTS_ATTR))
+            res.append(TextRegion(
+                nd.get("id"), parse_custom_attr(nd.get(C.CUSTOM_ATTR)), coords,
+                self.get_textlines(nd), tr_type))
+        return res
+
+    def get_regions(self) -> Dict[str, list]:
+        """All regions keyed by region name (page.py:528-550)."""
+        res: Dict[str, list] = {}
+        for r_name, r_class in REGIONS_DICT.items():
+            if r_name == C.TEXTREGION:
+                trs = self.get_text_regions()
+                if trs:
+                    res[r_name] = trs
+                continue
+            nds = self.get_child_by_name(self.page_doc, r_name)
+            if nds:
+                res[r_name] = [
+                    r_class(
+                        nd.get("id"), parse_custom_attr(nd.get(C.CUSTOM_ATTR)),
+                        self.get_point_list(
+                            self.get_child_by_name(nd, C.COORDS)[0].get(C.POINTS_ATTR)))
+                    for nd in nds]
+        return res
+
+    def remove_regions(self, region_type: str) -> None:
+        if region_type not in REGIONS_DICT:
+            logger.info("There is no region with type %s, skipping.", region_type)
+            return
+        for nd in self.get_child_by_name(self.page_doc, region_type):
+            self.remove_page_xml_node(nd)
+
+    def add_region(self, region, overwrite=False) -> None:
+        """Append a region; same-id handling per page.py:653-680."""
+        page_nd = self.get_child_by_name(self.page_doc, "Page")[0]
+        existing = self.get_child_by_id(page_nd, region.id)
+        if existing:
+            if not overwrite:
+                logger.debug("Region %s already exists, skipping.", region.id)
+                return
+            for nd in existing:
+                self.remove_page_xml_node(nd)
+        page_nd.append(region.to_page_xml_node())
+
+    def set_text_regions(self, text_regions, overwrite=False) -> None:
+        if overwrite:
+            for nd in self.get_child_by_name(self.page_doc, C.TEXTREGION):
+                self.remove_page_xml_node(nd)
+        page_nd = self.get_child_by_name(self.page_doc, "Page")[0]
+        for tr in text_regions:
+            page_nd.append(tr.to_page_xml_node())
+
+    # ---------------- text lines / words ----------------
+    def get_textlines(self, text_region_nd=None, ignore_redundant_textlines=True) -> List[TextLine]:
+        base = text_region_nd if text_region_nd is not None else self.page_doc
+        res = []
+        seen = set()
+        for nd in self.get_child_by_name(base, C.TEXTLINE):
+            tl_id = nd.get("id")
+            if tl_id in seen and ignore_redundant_textlines:
+                continue
+            seen.add(tl_id)
+            bl_nds = self.get_child_by_name(nd, C.BASELINE)
+            res.append(TextLine(
+                tl_id,
+                parse_custom_attr(nd.get(C.CUSTOM_ATTR)),
+                self.get_text_equiv(nd),
+                self.get_point_list(bl_nds[0]) if bl_nds else None,
+                self.get_point_list(nd),
+                self.get_words(nd),
+            ))
+        return res
+
+    def get_words(self, text_line_nd=None, ignore_redundant_words=True) -> List[Word]:
+        base = text_line_nd if text_line_nd is not None else self.page_doc
+        res = []
+        seen = set()
+        for nd in self.get_child_by_name(base, C.WORD):
+            w_id = nd.get("id")
+            if w_id in seen and ignore_redundant_words:
+                continue
+            seen.add(w_id)
+            res.append(Word(
+                w_id, parse_custom_attr(nd.get(C.CUSTOM_ATTR)),
+                self.get_text_equiv(nd), self.get_point_list(nd)))
+        return res
+
+    def update_textlines(self) -> None:
+        self.textlines = self.get_textlines()
+
+    def set_textline_attr(self, textlines) -> None:
+        """Write each TextLine object's custom dict back to its DOM node."""
+        for tl in textlines:
+            nds = self.get_child_by_id(self.page_doc, tl.id)
+            if not nds:
+                logger.warning("TextLine %s not found in document.", tl.id)
+                continue
+            self.set_custom_attr_from_dict(nds[0], tl.custom)
+
+    def set_text_lines(self, text_region, text_lines, overwrite=False) -> None:
+        """Replace/append the text lines of one region and refresh the
+        region-level TextEquiv (page.py:702-751)."""
+        if isinstance(text_region, TextRegion):
+            text_region_nd = self.get_child_by_id(self.page_doc, text_region.id)[0]
+        else:
+            text_region_nd = text_region
+
+        if overwrite:
+            for nd in self.get_child_by_name(text_region_nd, C.TEXTLINE):
+                self.remove_page_xml_node(nd)
+
+        existing = self.get_child_by_name(text_region_nd, C.TEXTLINE)
+        idx = text_region_nd.index(existing[0]) if existing else 0
+        texts = []
+        for tl in text_lines:
+            tl_nd = tl.to_page_xml_node()
+            if tl_nd is None:
+                continue
+            text_region_nd.insert(idx, tl_nd)
+            idx += 1
+            texts.append(tl.text)
+
+        region_text = "\n".join(texts)
+        unicode_nds = text_region_nd.xpath(
+            "./pc:%s/pc:%s" % (C.TEXTEQUIV, C.UNICODE), namespaces=_NSMAP)
+        if unicode_nds:
+            unicode_nds[-1].text = region_text
+        else:
+            text_equiv_nd = etree.SubElement(
+                text_region_nd, "{%s}%s" % (C.NS_PAGE_XML, C.TEXTEQUIV))
+            unicode_nd = etree.SubElement(
+                text_equiv_nd, "{%s}%s" % (C.NS_PAGE_XML, C.UNICODE))
+            unicode_nd.text = region_text
+
+    # ---------------- articles ----------------
+    def get_article_dict(self) -> Dict[Optional[str], List[TextLine]]:
+        article_dict: Dict[Optional[str], List[TextLine]] = {}
+        for tl in self.textlines:
+            article_dict.setdefault(tl.get_article_id(), []).append(tl)
+        return article_dict
+
+    # ---------------- IO ----------------
+    def create_page_xml_document(self, creator_name=C.CREATOR, filename=None, img_w=0, img_h=0):
+        root = etree.Element(
+            "{%s}PcGts" % C.NS_PAGE_XML,
+            attrib={"{%s}schemaLocation" % C.NS_XSI: C.XSI_LOCATION},
+            nsmap={None: C.NS_PAGE_XML, "xsi": C.NS_XSI},
+        )
+        metadata = etree.SubElement(root, "{%s}%s" % (C.NS_PAGE_XML, C.METADATA))
+        for name, text in ((C.CREATOR_ELT, creator_name), (C.CREATED_ELT, _utc_now()),
+                           (C.LAST_CHANGE_ELT, _utc_now())):
+            nd = etree.SubElement(metadata, "{%s}%s" % (C.NS_PAGE_XML, name))
+            nd.text = text
+        page_node = etree.SubElement(root, "{%s}Page" % C.NS_PAGE_XML)
+        page_node.set("imageFilename", filename if filename is not None else "")
+        page_node.set("imageWidth", str(img_w))
+        page_node.set("imageHeight", str(img_h))
+        return etree.ElementTree(root)
+
+    def load_page_xml(self, path_to_xml):
+        return etree.parse(str(path_to_xml), etree.XMLParser(remove_blank_text=True))
+
+    def write_page_xml(self, save_path, creator=C.CREATOR, comments=None) -> None:
+        self.set_metadata(creator, comments)
+        with open(save_path, "w") as f:
+            f.write(etree.tostring(
+                self.page_doc, pretty_print=True, encoding="UTF-8",
+                standalone=True, xml_declaration=True).decode("utf-8"))

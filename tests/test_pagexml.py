@@ -1,0 +1,212 @@
+"""PAGE-XML data model tests: custom-attr syntax, round-trips, accessors."""
+import os
+
+import pytest
+from lxml import etree
+
+from citlab_as_tpu.pagexml import (
+    Page, Points, TextLine, TextRegion, SeparatorRegion, Word, constants as C,
+)
+from citlab_as_tpu.pagexml.objects import parse_custom_attr, format_custom_attr
+
+
+SAMPLE = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Metadata>
+    <Creator>test</Creator>
+    <Created>2020-01-01T00:00:00Z</Created>
+    <LastChange>2020-01-01T00:00:00Z</LastChange>
+  </Metadata>
+  <Page imageFilename="p1.jpg" imageWidth="1000" imageHeight="1400">
+    <PrintSpace>
+      <Coords points="10,10 990,10 990,1390 10,1390"/>
+    </PrintSpace>
+    <TextRegion id="tr_1" type="paragraph" custom="readingOrder {index:0;}">
+      <Coords points="50,50 500,50 500,300 50,300"/>
+      <TextLine id="tl_1" custom="readingOrder {index:0;} structure {id:a1; type:article;}">
+        <Coords points="50,50 500,50 500,100 50,100"/>
+        <Baseline points="50,90 500,90"/>
+        <Word id="w_1">
+          <Coords points="50,50 100,50 100,100 50,100"/>
+          <TextEquiv><Unicode>Hello</Unicode></TextEquiv>
+        </Word>
+        <TextEquiv><Unicode>Hello world</Unicode></TextEquiv>
+      </TextLine>
+      <TextLine id="tl_2" custom="structure {id:a2; type:article;}">
+        <Coords points="50,150 500,150 500,200 50,200"/>
+        <Baseline points="50,190 500,190"/>
+        <TextEquiv><Unicode>Second line</Unicode></TextEquiv>
+      </TextLine>
+    </TextRegion>
+    <SeparatorRegion id="sep_1" custom="structure {orientation:vertical;}">
+      <Coords points="520,0 530,0 530,1400 520,1400"/>
+    </SeparatorRegion>
+  </Page>
+</PcGts>
+"""
+
+
+@pytest.fixture
+def sample_path(tmp_path):
+    p = tmp_path / "sample.xml"
+    p.write_text(SAMPLE)
+    return str(p)
+
+
+def test_parse_custom_attr_roundtrip():
+    s = "readingOrder {index:4;} structure {type:catch-word;}"
+    d = parse_custom_attr(s)
+    assert d == {"readingOrder": {"index": "4"}, "structure": {"type": "catch-word"}}
+    assert parse_custom_attr(format_custom_attr(d)) == d
+    assert parse_custom_attr("") == {}
+    assert parse_custom_attr(None) == {}
+    # multi-prop rules, arbitrary whitespace
+    d2 = parse_custom_attr("structure { id : a1 ; type:article; }")
+    assert d2 == {"structure": {"id": "a1", "type": "article"}}
+
+
+def test_points_string_roundtrip():
+    pts = Points([(1, 2), (3, 4)])
+    assert pts.to_string() == "1,2 3,4"
+    assert Points.from_string("1,2 3,4").points_list == [(1, 2), (3, 4)]
+    poly = pts.to_polygon()
+    assert poly.as_list() == [(1, 2), (3, 4)]
+
+
+def test_page_load_accessors(sample_path):
+    page = Page(sample_path)
+    assert page.get_image_resolution() == (1000, 1400)
+    assert page.get_image_filename() == "p1.jpg"
+    assert page.get_print_space_coords() == [(10, 10), (990, 10), (990, 1390), (10, 1390)]
+
+    tls = page.get_textlines()
+    assert [tl.id for tl in tls] == ["tl_1", "tl_2"]
+    assert tls[0].text == "Hello world"
+    assert tls[0].get_article_id() == "a1"
+    assert tls[0].baseline.points_list == [(50, 90), (500, 90)]
+    assert len(tls[0].words) == 1
+    assert tls[0].words[0].text == "Hello"
+
+    trs = page.get_text_regions()
+    assert len(trs) == 1
+    assert trs[0].region_type == "paragraph"
+    assert trs[0].get_reading_order() == "0"
+
+    regions = page.get_regions()
+    assert set(regions) == {"TextRegion", "SeparatorRegion"}
+    assert regions["SeparatorRegion"][0].get_orientation() == "vertical"
+
+    art = page.get_article_dict()
+    assert set(art) == {"a1", "a2"}
+
+
+def test_page_roundtrip_preserves_content(sample_path, tmp_path):
+    page = Page(sample_path)
+    out = str(tmp_path / "out.xml")
+    page.write_page_xml(out)
+    page2 = Page(out)
+    assert page2.get_image_resolution() == (1000, 1400)
+    assert [tl.id for tl in page2.get_textlines()] == ["tl_1", "tl_2"]
+    assert page2.get_textlines()[0].get_article_id() == "a1"
+    assert page2.validate(page2.page_doc)
+    # LastChange bumped
+    assert page2.metadata.LastChange != "2020-01-01T00:00:00Z"
+
+
+def test_set_article_id_and_write_back(sample_path, tmp_path):
+    page = Page(sample_path)
+    tls = page.get_textlines()
+    for tl in tls:
+        tl.set_article_id("a9")
+    page.set_textline_attr(tls)
+    out = str(tmp_path / "out.xml")
+    page.write_page_xml(out)
+    page2 = Page(out)
+    assert all(tl.get_article_id() == "a9" for tl in page2.get_textlines())
+    # unset removes the structure attr
+    tls2 = page2.get_textlines()
+    tls2[0].set_article_id(None)
+    assert tls2[0].get_article_id() is None
+
+
+def test_create_page_from_scratch(tmp_path):
+    page = Page(img_filename="img.jpg", img_w=800, img_h=600)
+    assert page.validate(page.page_doc)
+    tr = TextRegion(
+        "tr_1", points=[(0, 0), (100, 0), (100, 100), (0, 100)],
+        text_lines=[TextLine("tl_1", text="hi",
+                             baseline=[(0, 90), (100, 90)],
+                             surr_p=[(0, 0), (100, 0), (100, 100), (0, 100)])])
+    page.add_region(tr)
+    out = str(tmp_path / "new.xml")
+    page.write_page_xml(out)
+    page2 = Page(out)
+    assert page2.get_image_resolution() == (800, 600)
+    assert len(page2.get_text_regions()) == 1
+    assert page2.get_text_regions()[0].text_lines[0].text == "hi"
+    # region text equiv aggregated from lines
+    tr_nd = page2.get_child_by_id(page2.page_doc, "tr_1")[0]
+    assert page2.get_text_equiv(tr_nd) == "hi"
+
+
+def test_add_region_overwrite_semantics(sample_path):
+    page = Page(sample_path)
+    sep = SeparatorRegion("sep_1", points=[(0, 0), (1, 0), (1, 1), (0, 1)])
+    page.add_region(sep, overwrite=False)  # skipped
+    regions = page.get_regions()
+    assert regions["SeparatorRegion"][0].points.points_list[0] == (520, 0)
+    page.add_region(sep, overwrite=True)
+    regions = page.get_regions()
+    assert len(regions["SeparatorRegion"]) == 1
+    assert regions["SeparatorRegion"][0].points.points_list[0] == (0, 0)
+
+
+def test_remove_regions(sample_path):
+    page = Page(sample_path)
+    page.remove_regions("SeparatorRegion")
+    assert "SeparatorRegion" not in page.get_regions()
+
+
+def test_set_text_regions_overwrite(sample_path):
+    page = Page(sample_path)
+    new_tr = TextRegion("tr_new", points=[(0, 0), (10, 0), (10, 10), (0, 10)])
+    page.set_text_regions([new_tr], overwrite=True)
+    trs = page.get_text_regions()
+    assert [t.id for t in trs] == ["tr_new"]
+
+
+def test_textline_without_surrp_dropped():
+    tl = TextLine("tl_x", text="no polygon")
+    assert tl.to_page_xml_node() is None
+
+
+def test_unique_id(sample_path):
+    page = Page(sample_path)
+    uid = page.get_unique_id("TextRegion")
+    assert uid not in page.get_ids()
+    assert uid.startswith("TextRegion_")
+
+
+def test_metadata_repair(tmp_path):
+    # document missing Metadata gets one added
+    broken = """<?xml version="1.0"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Page imageFilename="x.jpg" imageWidth="10" imageHeight="10"/>
+</PcGts>"""
+    p = tmp_path / "broken.xml"
+    p.write_text(broken)
+    page = Page(str(p))
+    assert page.metadata.Creator is not None
+    assert page.validate(page.page_doc)
+
+
+def test_print_space_fallback(tmp_path):
+    no_ps = """<?xml version="1.0"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Metadata><Creator>c</Creator><Created>t</Created><LastChange>t</LastChange></Metadata>
+  <Page imageFilename="x.jpg" imageWidth="10" imageHeight="20"/>
+</PcGts>"""
+    p = tmp_path / "nops.xml"
+    p.write_text(no_ps)
+    page = Page(str(p))
+    assert page.get_print_space_coords() == [(0, 0), (10, 0), (10, 20), (0, 20)]
