@@ -1,0 +1,135 @@
+"""Host-side contour tracing: binary mask -> ring polygons per component.
+
+Replaces rasterio.features.shapes (region_net_post_processor_base.py:178-197).
+Output matches its contract: per 8-connected component a list of closed rings
+in pixel-corner coordinates [(x, y), ...] — exterior ring first, then holes.
+
+The boundary-edge extraction is vectorized numpy; only the ring chaining is a
+Python loop over boundary edges (output is irreducibly irregular — this is
+exactly the work SURVEY.md keeps on host).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from citlab_as_tpu.ops.connected_components import connected_components, _BG
+
+Point = Tuple[int, int]
+Ring = List[Point]
+
+# turn preference at pinch corners: sharpest LEFT turn first, so diagonal
+# (8-connected) neighbors stay on one ring
+_DIRS = {(1, 0): 0, (0, 1): 1, (-1, 0): 2, (0, -1): 3}
+_DIR_VECS = [(1, 0), (0, 1), (-1, 0), (0, -1)]
+
+
+def _boundary_edges(mask: np.ndarray, labels: np.ndarray):
+    """Directed boundary edges with owning pixel label.
+
+    Convention (y-down image coords): exterior rings wind so the shoelace
+    area is positive; holes negative.
+    Returns dict start_point -> list of (end_point, dir_idx, label).
+    """
+    h, w = mask.shape
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = mask
+
+    edges: Dict[Point, List[Tuple[Point, int, int]]] = {}
+
+    def add(r, c, p0, p1, dir_vec):
+        edges.setdefault(p0, []).append((p1, _DIRS[dir_vec], int(labels[r, c])))
+
+    # top edges: empty above -> walk +x
+    rs, cs = np.nonzero(padded[1:-1, 1:-1] & ~padded[:-2, 1:-1])
+    for r, c in zip(rs.tolist(), cs.tolist()):
+        add(r, c, (c, r), (c + 1, r), (1, 0))
+    # right edges: empty right -> walk +y
+    rs, cs = np.nonzero(padded[1:-1, 1:-1] & ~padded[1:-1, 2:])
+    for r, c in zip(rs.tolist(), cs.tolist()):
+        add(r, c, (c + 1, r), (c + 1, r + 1), (0, 1))
+    # bottom edges: empty below -> walk -x
+    rs, cs = np.nonzero(padded[1:-1, 1:-1] & ~padded[2:, 1:-1])
+    for r, c in zip(rs.tolist(), cs.tolist()):
+        add(r, c, (c + 1, r + 1), (c, r + 1), (-1, 0))
+    # left edges: empty left -> walk -y
+    rs, cs = np.nonzero(padded[1:-1, 1:-1] & ~padded[1:-1, :-2])
+    for r, c in zip(rs.tolist(), cs.tolist()):
+        add(r, c, (c, r + 1), (c, r), (0, -1))
+
+    return edges
+
+
+def _chain_rings(edges) -> List[Tuple[Ring, int, float]]:
+    """Chain directed edges into closed rings. Returns (ring, label,
+    signed_area) triples; ring is closed (first == last)."""
+    rings = []
+    while edges:
+        start = next(iter(edges))
+        end, dir_idx, label = edges[start].pop()
+        if not edges[start]:
+            del edges[start]
+        ring = [start, end]
+        cur_dir = dir_idx
+        while ring[-1] != start:
+            cands = edges.get(ring[-1])
+            if not cands:
+                break  # malformed (shouldn't happen on valid masks)
+            if len(cands) == 1:
+                nxt = cands.pop(0)
+            else:
+                # pinch corner: prefer sharpest left turn (8-connectivity)
+                def turn_score(c):
+                    return (c[1] - cur_dir + 1) % 4  # left=0, straight=1, right=2
+                cands.sort(key=turn_score)
+                nxt = cands.pop(0)
+            if not edges[ring[-1]]:
+                del edges[ring[-1]]
+            ring.append(nxt[0])
+            cur_dir = nxt[1]
+        # signed area (shoelace)
+        area = 0.0
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            area += x1 * y2 - x2 * y1
+        rings.append((ring, label, area / 2.0))
+    return rings
+
+
+def trace_contours(binary, labels=None) -> List[List[Ring]]:
+    """Ring polygons of the 8-connected components of ``binary`` (255/0 or
+    bool). Returns one entry per component: [exterior_ring, *hole_rings]."""
+    mask = np.asarray(binary) != 0
+    if not mask.any():
+        return []
+    if labels is None:
+        labels = np.asarray(connected_components(mask))
+    else:
+        labels = np.asarray(labels)
+
+    edges = _boundary_edges(mask, labels)
+    rings = _chain_rings(edges)
+
+    by_label: Dict[int, List[Tuple[Ring, float]]] = {}
+    order: List[int] = []
+    for ring, label, area in rings:
+        if label not in by_label:
+            order.append(label)
+        by_label.setdefault(label, []).append((ring, area))
+
+    out = []
+    for label in sorted(order):
+        comp = by_label[label]
+        exteriors = [r for r, a in comp if a > 0]
+        holes = [r for r, a in comp if a <= 0]
+        # a component has exactly one exterior; keep largest as safety
+        exteriors.sort(key=lambda r: -abs(_ring_area(r)))
+        out.append([exteriors[0]] + holes if exteriors else [comp[0][0]])
+    return out
+
+
+def _ring_area(ring: Ring) -> float:
+    area = 0.0
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        area += x1 * y2 - x2 * y1
+    return area / 2.0

@@ -1,0 +1,88 @@
+"""Euclidean distance transform on device via jump flooding (JFA).
+
+Replaces cv2.distanceTransform(DIST_L2, DIST_MASK_PRECISE)
+(swt_dist_trafo.py:18-24): for every non-zero pixel, the L2 distance to the
+nearest zero pixel. JFA propagates nearest-seed coordinates in
+O(log max(H, W)) fully-parallel steps of 9 shifted candidates each — a
+textbook TPU pattern (pure vector ops, static shapes). The 1+JFA variant
+(an extra step at offset 1) removes almost all of plain JFA's rare
+off-by-small errors.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(1 << 20)
+
+
+def _shift2d(arr: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """Shift a 2-D array by (dy, dx), filling vacated cells with ``fill``."""
+    out = arr
+    if dy:
+        out = jnp.roll(out, dy, axis=0)
+        if dy > 0:
+            out = out.at[:dy, :].set(fill)
+        else:
+            out = out.at[dy:, :].set(fill)
+    if dx:
+        out = jnp.roll(out, dx, axis=1)
+        if dx > 0:
+            out = out.at[:, :dx].set(fill)
+        else:
+            out = out.at[:, dx:].set(fill)
+    return out
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def distance_transform_edt(binary: jnp.ndarray, cap: float = 0.0) -> jnp.ndarray:
+    """L2 distance of each non-zero pixel to the nearest zero pixel.
+
+    ``binary``: HW array, zero = seed/background. Returns float32 distances
+    (0 at seeds). ``cap`` > 0 clips the output (the SWT consumer casts to
+    uint8; we clip instead of letting values wrap)."""
+    fg = jnp.asarray(binary) != 0
+    h, w = fg.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    # nearest-seed coordinates; _BIG marks "no seed known yet"
+    sy = jnp.where(fg, _BIG, yy)
+    sx = jnp.where(fg, _BIG, xx)
+
+    def dist2(sy_, sx_):
+        dy = (sy_ - yy).astype(jnp.float32)
+        dx = (sx_ - xx).astype(jnp.float32)
+        return jnp.where(sy_ >= _BIG, jnp.float32(jnp.inf), dy * dy + dx * dx)
+
+    max_dim = max(h, w)
+    steps = []
+    k = 1
+    while k < max_dim:
+        k <<= 1
+    while k >= 1:
+        steps.append(k)
+        k >>= 1
+    steps.append(1)  # 1+JFA refinement pass
+
+    for step in steps:
+        best_d = dist2(sy, sx)
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                if dy == 0 and dx == 0:
+                    continue
+                cy = _shift2d(sy, dy, dx, _BIG)
+                cx = _shift2d(sx, dy, dx, _BIG)
+                cd = dist2(cy, cx)
+                better = cd < best_d
+                sy = jnp.where(better, cy, sy)
+                sx = jnp.where(better, cx, sx)
+                best_d = jnp.where(better, cd, best_d)
+
+    dist = jnp.sqrt(dist2(sy, sx))
+    dist = jnp.where(fg, dist, 0.0)
+    if cap > 0:
+        dist = jnp.minimum(dist, cap)
+    return dist
