@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 import logging
+import os
 from typing import Dict, List, Optional, Tuple
 
 from lxml import etree
@@ -463,6 +464,9 @@ class Page:
 
     def write_page_xml(self, save_path, creator=C.CREATOR, comments=None) -> None:
         self.set_metadata(creator, comments)
+        parent = os.path.dirname(save_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(save_path, "w") as f:
             f.write(etree.tostring(
                 self.page_doc, pretty_print=True, encoding="UTF-8",

@@ -1,0 +1,131 @@
+"""Separator detection stage (pipeline stage 1).
+
+Reference behavior: separator_net_post_processor.py:26-159 +
+net_post_processing_helper.py:14-78. TPU-first split: everything bulk-numeric
+(threshold, CC filter, h/v morphology) is one jitted device pipeline over the
+ARU-Net probability map; only contour tracing and PAGE-XML writing run on
+host.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from citlab_as_tpu.ops.connected_components import remove_small_components
+from citlab_as_tpu.ops.morphology import morph_open
+from citlab_as_tpu.ops.contours import trace_contours
+from citlab_as_tpu.ops.resize import scale_image
+from citlab_as_tpu.pagexml.constants import SEPARATORREGION
+from citlab_as_tpu.stages.separator_writer import SeparatorRegionToPageWriter
+from citlab_as_tpu.utils.io import get_page_path, load_image
+from citlab_as_tpu.utils.logging import setup_custom_logger
+
+logger = setup_custom_logger(__name__)
+
+
+def apply_threshold(net_output: np.ndarray, threshold: float) -> np.ndarray:
+    """uint8-aware binarization (net_post_processing_helper.py:75-78)."""
+    if net_output.dtype == np.uint8:
+        threshold = threshold * 255
+    return np.asarray((net_output > threshold) * 255, dtype=np.uint8)
+
+
+@partial(jax.jit, static_argnames=("h_kernel", "v_kernel", "noise_kernel"))
+def _separator_masks_device(binary: jnp.ndarray, min_cc_size: jnp.ndarray,
+                            h_kernel: int, v_kernel: int, noise_kernel: int):
+    """Device part of post_process (separator_net_post_processor.py:33-97):
+    CC filter -> horizontal/vertical openings -> subtract -> noise opening."""
+    cleaned = remove_small_components(binary, min_cc_size).astype(jnp.float32)
+    horizontal = morph_open(cleaned, h_kernel, 1)
+    vertical = morph_open(cleaned, 1, v_kernel)
+    horizontal = jnp.clip(horizontal - vertical, 0, 255)  # cv2.subtract saturates
+    horizontal = morph_open(horizontal, noise_kernel, 1)
+    return horizontal.astype(jnp.uint8), vertical.astype(jnp.uint8)
+
+
+def separator_post_process(binary: np.ndarray) -> Dict[str, np.ndarray]:
+    """Post-process a thresholded separator-channel image into horizontal and
+    vertical separator masks. Kernel sizes scale with image size exactly as
+    the reference: h = 15*W/1000, v = 30*H/1500, noise = 10*W/1000."""
+    h, w = binary.shape
+    h_kernel = max(1, int(15 * w / 1000))
+    v_kernel = max(1, int(30 * h / 1500))
+    noise_kernel = max(1, int(10 * w / 1000))
+    # CC threshold: components < 100 px (1/size*100 of total, base:230-251)
+    horizontal, vertical = _separator_masks_device(
+        jnp.asarray(binary), jnp.int32(100), h_kernel, v_kernel, noise_kernel)
+    return {"horizontal": np.asarray(horizontal), "vertical": np.asarray(vertical)}
+
+
+def masks_to_polygons(mask: np.ndarray, separator_type: Optional[str] = None) -> Dict[str, list]:
+    """Contours of a separator mask keyed by region name
+    (separator_net_post_processor.py:99-115)."""
+    contours = trace_contours(mask)
+    key = SEPARATORREGION if separator_type is None else f"{SEPARATORREGION}_{separator_type}"
+    return {key: contours}
+
+
+def rescale_polygons_dict(polygons_dict: Dict[str, list], scaling_factor: float) -> Dict[str, list]:
+    """Scale every ring of every polygon (base:253-268)."""
+    out = {}
+    for name, poly_list in polygons_dict.items():
+        out[name] = [
+            [[(x * scaling_factor, y * scaling_factor) for x, y in ring] for ring in rings]
+            for rings in poly_list]
+    return out
+
+
+class SeparatorNetPostProcessor:
+    """Run separator detection over images and write results to PAGE-XML.
+
+    ``predict_fn(image_grey: np.ndarray[H, W]) -> np.ndarray[H, W, C]`` is the
+    net forward (ARU-Net probabilities, channel 0 = separator). This decouples
+    the stage from model loading so tests can inject synthetic nets.
+    """
+
+    def __init__(self, image_list, predict_fn: Callable[[np.ndarray], np.ndarray],
+                 fixed_height: Optional[int] = 1500, scaling_factor: float = 1.0,
+                 threshold: float = 0.05):
+        if isinstance(image_list, str):
+            from citlab_as_tpu.utils.io import load_list_file
+            self.image_paths = load_list_file(image_list)
+        else:
+            self.image_paths = list(image_list)
+        self.predict_fn = predict_fn
+        self.fixed_height = fixed_height
+        self.scaling_factor = scaling_factor
+        self.threshold = threshold
+
+    def process_image(self, image_grey: np.ndarray, sc: float):
+        """Device inference + post-processing for one scaled grayscale image.
+        Returns the rescaled polygons dict."""
+        net_output = np.asarray(self.predict_fn(image_grey))
+        net_output = np.asarray(net_output * 255, dtype=np.uint8)
+        binary = apply_threshold(net_output[..., 0], self.threshold)
+        masks = separator_post_process(binary)
+        polygons_dict = {}
+        for separator_type, mask in masks.items():
+            polygons_dict.update(masks_to_polygons(mask, separator_type))
+        return rescale_polygons_dict(polygons_dict, 1.0 / sc)
+
+    def run(self) -> List:
+        pages = []
+        for image_path in self.image_paths:
+            image = load_image(image_path, mode="L").astype(np.float32)
+            scaled, sc = scale_image(image, self.fixed_height, self.scaling_factor)
+            image_grey = np.asarray(scaled) / 255.0
+            polygons_dict = self.process_image(image_grey, sc)
+            page_path = get_page_path(image_path)
+            writer = SeparatorRegionToPageWriter(
+                page_path, image_path, self.fixed_height, self.scaling_factor,
+                polygons_dict)
+            writer.remove_separator_regions_from_page()
+            writer.merge_regions()
+            logger.debug("Saving separator results to %s.xml", page_path)
+            writer.save_page_xml(page_path + ".xml")
+            pages.append(writer.page_object)
+        return pages

@@ -1,0 +1,151 @@
+"""Separator stage end-to-end: synthetic net -> masks -> polygons -> PAGE-XML
+with text-line splitting (the reference pipeline's stage 1 contract)."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from citlab_as_tpu.pagexml import Page
+from citlab_as_tpu.stages.separator import (
+    SeparatorNetPostProcessor, apply_threshold, separator_post_process,
+    masks_to_polygons, rescale_polygons_dict,
+)
+
+H, W = 300, 400
+
+
+def _make_net_output(h=H, w=W):
+    """Synthetic separator probability map: one horizontal rule, one vertical
+    rule, one small noise blob. Channel 0 = separator, channel 1 = other."""
+    prob = np.zeros((h, w, 2), np.float32)
+    prob[150:153, 20:380, 0] = 0.9      # horizontal separator
+    prob[10:290, 200:204, 0] = 0.9      # vertical separator
+    prob[50:52, 50:52, 0] = 0.9         # small noise (< 100 px)
+    prob[..., 1] = 1.0 - prob[..., 0]
+    return prob
+
+
+def test_apply_threshold_uint8_scaling():
+    arr = np.array([10, 20, 200], np.uint8)
+    out = apply_threshold(arr, 0.05)  # threshold scaled to 12.75
+    assert out.tolist() == [0, 255, 255]
+
+
+def test_separator_post_process_masks():
+    prob = _make_net_output()
+    binary = apply_threshold(np.uint8(prob[..., 0] * 255), 0.05)
+    masks = separator_post_process(binary)
+    h_mask, v_mask = masks["horizontal"], masks["vertical"]
+    # horizontal line in horizontal mask, not in vertical
+    assert h_mask[151, 100] == 255
+    assert v_mask[151, 100] == 0
+    # vertical line in vertical mask
+    assert v_mask[100, 201] == 255
+    # overlap subtracted from horizontal
+    assert h_mask[151, 201] == 0
+    # noise blob removed (CC < 100 px)
+    assert h_mask[50, 50] == 0 and v_mask[50, 50] == 0
+
+
+def test_masks_to_polygons_and_rescale():
+    mask = np.zeros((50, 50), np.uint8)
+    mask[10:12, 5:45] = 255
+    d = masks_to_polygons(mask, "horizontal")
+    assert "SeparatorRegion_horizontal" in d
+    assert len(d["SeparatorRegion_horizontal"]) == 1
+    d2 = rescale_polygons_dict(d, 2.0)
+    ring = d2["SeparatorRegion_horizontal"][0][0]
+    xs = [p[0] for p in ring]
+    assert max(xs) == 90  # 45 * 2
+
+
+PAGE_TEMPLATE = """<?xml version="1.0" encoding="UTF-8"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Metadata><Creator>t</Creator><Created>x</Created><LastChange>x</LastChange></Metadata>
+  <Page imageFilename="{img}" imageWidth="{w}" imageHeight="{h}">
+    <TextRegion id="tr_1" type="paragraph">
+      <Coords points="20,100 380,100 380,140 20,140"/>
+      <TextLine id="tl_1">
+        <Coords points="20,100 380,100 380,140 20,140"/>
+        <Baseline points="20,130 380,130"/>
+        <TextEquiv><Unicode>straddling line</Unicode></TextEquiv>
+      </TextLine>
+      <TextLine id="tl_2">
+        <Coords points="20,250 180,250 180,280 20,280"/>
+        <Baseline points="20,270 180,270"/>
+        <TextEquiv><Unicode>left only</Unicode></TextEquiv>
+      </TextLine>
+    </TextRegion>
+  </Page>
+</PcGts>
+"""
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    img = np.full((H, W), 255, np.uint8)
+    img_path = tmp_path / "p1.png"
+    Image.fromarray(img).save(img_path)
+    page_dir = tmp_path / "page"
+    page_dir.mkdir()
+    (page_dir / "p1.xml").write_text(
+        PAGE_TEMPLATE.format(img="p1.png", w=W, h=H))
+    return tmp_path
+
+
+def test_separator_stage_end_to_end(workdir):
+    def predict_fn(image_grey):
+        assert image_grey.shape == (H, W)
+        return _make_net_output()
+
+    proc = SeparatorNetPostProcessor(
+        [str(workdir / "p1.png")], predict_fn,
+        fixed_height=None, scaling_factor=1.0, threshold=0.05)
+    pages = proc.run()
+    assert len(pages) == 1
+
+    out_path = str(workdir / "page" / "p1.xml.xml")
+    assert os.path.exists(out_path)
+    page = Page(out_path)
+
+    regions = page.get_regions()
+    seps = regions["SeparatorRegion"]
+    orientations = {s.get_orientation() for s in seps}
+    assert orientations == {"horizontal", "vertical"}
+
+    # the straddling text line got split in two at the vertical separator
+    tls = page.get_textlines()
+    ids = sorted(tl.id for tl in tls)
+    assert "tl_1_1" in ids and "tl_1_2" in ids
+    assert "tl_2" in ids  # untouched line survives
+    assert "tl_1" not in ids
+
+    split_lines = [tl for tl in tls if tl.id.startswith("tl_1_")]
+    for tl in split_lines:
+        assert tl.baseline is not None
+        xs = [x for x, _ in tl.surr_p.points_list]
+        # each split lies entirely on one side of the separator (x ~ 200-204)
+        assert max(xs) <= 205 or min(xs) >= 199
+
+    # baselines clipped: one ends before 200, other starts after 204
+    bl_xs = sorted((min(x for x, _ in tl.baseline.points_list),
+                    max(x for x, _ in tl.baseline.points_list))
+                   for tl in split_lines)
+    assert bl_xs[0][1] <= 205
+    assert bl_xs[1][0] >= 199
+
+
+def test_separator_stage_creates_page_if_missing(tmp_path):
+    img = np.full((H, W), 255, np.uint8)
+    img_path = tmp_path / "p2.png"
+    Image.fromarray(img).save(img_path)
+
+    proc = SeparatorNetPostProcessor(
+        [str(img_path)], lambda g: _make_net_output(),
+        fixed_height=None, scaling_factor=1.0, threshold=0.05)
+    proc.run()
+    out_path = str(tmp_path / "page" / "p2.xml.xml")
+    assert os.path.exists(out_path)
+    page = Page(out_path)
+    assert len(page.get_regions()["SeparatorRegion"]) >= 2
