@@ -1,0 +1,62 @@
+"""Device mesh + sharding helpers.
+
+The reference's parallelism surface (SURVEY.md §2.5) is host-process data
+parallelism for inference and MirroredStrategy all-reduce for training
+(trainer_base.py:239-252). TPU-native equivalent: one
+``jax.sharding.Mesh`` over the slice; batches sharded over the ``data``
+axis, params replicated; XLA inserts the ICI all-reduces for gradients under
+jit. A ``model`` axis is kept in the mesh for spatially-sharded segmentation
+of oversized pages (width-sharded conv inputs) and future tensor sharding.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, data: Optional[int] = None,
+              model: int = 1) -> Mesh:
+    """Build a (data, model) mesh over ``devices`` (defaults to all)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"data({data}) * model({model}) != devices({n})")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+    """Place a pytree of arrays with the leading axis sharded over 'data'."""
+    def spec_for(x):
+        spec = [None] * x.ndim
+        spec[batch_axis] = "data"
+        return NamedSharding(mesh, P(*spec))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, spec_for(x)), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4, batch_axis: int = 0) -> NamedSharding:
+    """NamedSharding splitting axis ``batch_axis`` over 'data'."""
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def data_parallel_jit(fn):
+    """Plain jit relying on "computation follows data": place params with
+    :func:`replicate` and batches with :func:`shard_batch`, and GSPMD derives
+    the data-parallel program (gradient all-reduce over ICI) from the input
+    shardings."""
+    return jax.jit(fn)

@@ -1,0 +1,53 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh + graft entry dry run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from citlab_as_tpu.parallel.mesh import make_mesh, replicate, shard_batch, batch_sharding
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8  # conftest forces 8 virtual CPU devices
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(data=3, model=2)
+
+
+def test_shard_and_replicate():
+    mesh = make_mesh()
+    batch = {"x": np.zeros((8, 4, 4, 1), np.float32), "y": np.zeros((8,), np.int32)}
+    sharded = shard_batch(mesh, batch)
+    assert sharded["x"].sharding.spec[0] == "data"
+    params = {"w": np.ones((3, 3), np.float32)}
+    repl = replicate(mesh, params)
+    assert repl["w"].sharding.is_fully_replicated
+
+
+def test_data_parallel_sum():
+    mesh = make_mesh()
+    x = shard_batch(mesh, jnp.arange(16, dtype=jnp.float32).reshape(8, 2))
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x)
+
+    assert float(f(x)) == float(np.arange(16).sum())
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1, 256, 256, 2)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
