@@ -1,0 +1,176 @@
+"""Heading detection stage (pipeline stage 3).
+
+Reference: heading_net_post_processor.py:19-310. Fuses ARU-Net heading
+probabilities with stroke-width / text-height features from the distance
+transform:
+
+1. per text line: mean net probability over its (rescaled) bbox; stroke
+   width (median per-CC max DT) and text height (max CC height) from the
+   full-resolution SWT image;
+2. page-level normalization: subtract the per-page mode, rescale to [0, 1];
+3. decision: heading if any hard threshold fires (net >= 1.0 /
+   stroke-width >= 1.0 / text-height >= 0.9 / (sw+th)/2 >= 0.9 by default)
+   or the weighted sum (net .8, sw 0, th .2) exceeds the threshold (0.4);
+4. a TextRegion becomes type 'heading' when >= text_line_percentage (0.8)
+   of its lines are headings; all other regions are reset to 'paragraph'.
+"""
+from __future__ import annotations
+
+from collections import Counter
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from citlab_as_tpu.ops.resize import scale_image
+from citlab_as_tpu.ops.swt import StrokeWidthDistanceTransform
+from citlab_as_tpu.pagexml.constants import TextRegionTypes
+from citlab_as_tpu.stages.separator_writer import RegionToPageWriter
+from citlab_as_tpu.utils.io import get_page_path, load_image
+from citlab_as_tpu.utils.logging import setup_custom_logger
+
+logger = setup_custom_logger(__name__)
+
+DEFAULT_WEIGHTS = {"net": 0.8, "stroke_width": 0.0, "text_height": 0.2}
+DEFAULT_THRESHOLDS = {"net_thresh": 1.0, "stroke_width_thresh": 1.0,
+                      "text_height_thresh": 0.9, "sw_th_thresh": 0.9}
+
+
+def scale_to_new_interval(data, old_min, old_max, new_min=0.0, new_max=1.0):
+    """Affine remap of ``data`` from [old_min, old_max] to [new_min, new_max]
+    (heading:51-64); identity when the old interval is degenerate."""
+    if old_max - old_min == 0:
+        return data
+    return (new_max - new_min) / (old_max - old_min) * (data - old_min) + new_min
+
+
+class HeadingNetPostProcessor:
+    """``predict_fn(image_grey[H, W]) -> probabilities[H, W, C]`` decouples
+    the stage from model loading (channel 0 = heading)."""
+
+    def __init__(self, image_list, predict_fn: Optional[Callable] = None,
+                 fixed_height: Optional[int] = 900, scaling_factor: float = 1.0,
+                 weight_dict: Optional[Dict[str, float]] = None,
+                 threshold: float = 0.4,
+                 thresh_dict: Optional[Dict[str, float]] = None,
+                 text_line_percentage: float = 0.8):
+        if isinstance(image_list, str):
+            from citlab_as_tpu.utils.io import load_list_file
+            self.image_paths = load_list_file(image_list)
+        else:
+            self.image_paths = list(image_list)
+        self.predict_fn = predict_fn
+        self.fixed_height = fixed_height
+        self.scaling_factor = scaling_factor
+        self.swt = StrokeWidthDistanceTransform(dark_on_bright=True)
+        self.weight_dict = dict(weight_dict) if weight_dict else dict(DEFAULT_WEIGHTS)
+        self.threshold = threshold
+        self.thresh_dict = dict(thresh_dict) if thresh_dict else dict(DEFAULT_THRESHOLDS)
+        self.text_line_percentage = text_line_percentage
+
+    # ------------------------------------------------------------------
+    def get_net_prob_for_text_line(self, net_output, text_line, scaling_factor) -> float:
+        """Mean net probability over the rescaled line bbox (heading:247-270)."""
+        if text_line.surr_p is None:
+            return 0.0
+        poly = text_line.surr_p.to_polygon()
+        if scaling_factor is not None:
+            poly.rescale(scaling_factor)
+        bb = poly.get_bounding_box()
+        if bb.width <= 0 or bb.height <= 0:
+            return 0.0
+        crop = net_output[bb.y:bb.y + bb.height, bb.x:bb.x + bb.width]
+        return float(np.sum(crop) / (bb.width * bb.height))
+
+    # ------------------------------------------------------------------
+    def classify_page(self, page_object, scaling_factor,
+                      net_output_post: Optional[np.ndarray],
+                      swt_feature_image: Optional[np.ndarray]) -> None:
+        """Tag TextLines (custom structure{semantic_type:heading}) and
+        TextRegions (type=heading) in place (heading:66-200)."""
+        text_lines = page_object.get_textlines()
+
+        sw_raw, th_raw, net_prob = {}, {}, {}
+        for tl in text_lines:
+            if tl.surr_p is None or swt_feature_image is None:
+                sw_raw[tl.id], th_raw[tl.id] = 0.0, 0
+            else:
+                bb = tl.surr_p.to_polygon().get_bounding_box()
+                sw_raw[tl.id], th_raw[tl.id] = self.swt.textline_features(
+                    swt_feature_image, (bb.x, bb.y, bb.width, bb.height))
+            if self.weight_dict["net"] == 0 or net_output_post is None:
+                net_prob[tl.id] = 0.0
+            else:
+                net_prob[tl.id] = self.get_net_prob_for_text_line(
+                    net_output_post, tl, scaling_factor)
+
+        use_swt = len(sw_raw) > 0
+        if use_swt:
+            sw_mode = Counter(sw_raw.values()).most_common(1)[0][0]
+            th_mode = Counter(th_raw.values()).most_common(1)[0][0]
+            sw_diff = {k: v - sw_mode for k, v in sw_raw.items()}
+            th_diff = {k: v - th_mode for k, v in th_raw.items()}
+            sw_min, sw_max = min(sw_diff.values()), max(sw_diff.values())
+            th_min, th_max = min(th_diff.values()), max(th_diff.values())
+
+        w = self.weight_dict
+        t = self.thresh_dict
+        for tl in text_lines:
+            net_conf = net_prob[tl.id]
+            if use_swt:
+                sw_conf = scale_to_new_interval(sw_diff[tl.id], sw_min, sw_max)
+                th_conf = scale_to_new_interval(th_diff[tl.id], th_min, th_max)
+                if (sw_conf >= t["stroke_width_thresh"]
+                        or th_conf >= t["text_height_thresh"]
+                        or (sw_conf + th_conf) / 2 >= t["sw_th_thresh"]
+                        or net_conf >= t["net_thresh"]):
+                    conf = 1.0
+                else:
+                    conf = (w["net"] * net_conf + w["stroke_width"] * sw_conf
+                            + w["text_height"] * th_conf)
+            else:
+                conf = net_conf
+
+            if conf > self.threshold:
+                nd = page_object.get_child_by_id(page_object.page_doc, tl.id)[0]
+                page_object.set_custom_attr(
+                    nd, "structure", "semantic_type", TextRegionTypes.HEADING)
+
+        for text_region in page_object.get_text_regions():
+            nd = page_object.get_child_by_id(page_object.page_doc, text_region.id)[0]
+            nd.set("type", TextRegionTypes.PARAGRAPH)
+            if not text_region.text_lines:
+                continue
+            n_headings = sum(
+                1 for tl in text_region.text_lines
+                if tl.custom.get("structure", {}).get("semantic_type") == TextRegionTypes.HEADING)
+            if n_headings / len(text_region.text_lines) >= self.text_line_percentage:
+                nd.set("type", TextRegionTypes.HEADING)
+
+    # ------------------------------------------------------------------
+    def run(self) -> List:
+        pages = []
+        for image_path in self.image_paths:
+            image = load_image(image_path, mode="L").astype(np.float32)
+
+            net_output_post = None
+            sc = None
+            if self.weight_dict["net"] > 0 and self.predict_fn is not None:
+                scaled, sc = scale_image(image, self.fixed_height, self.scaling_factor)
+                image_grey = np.asarray(scaled) / 255.0
+                net_output = np.asarray(self.predict_fn(image_grey))
+                # match the reference's quantize-then-normalize round trip
+                net_output = np.asarray(net_output * 255, dtype=np.uint8)
+                net_output_post = net_output[:, :, 0] / 255.0
+
+            swt_feature_image = self.swt.distance_transform(image)
+
+            page_path = get_page_path(image_path)
+            writer = RegionToPageWriter(
+                page_path, path_to_image=image_path,
+                fixed_height=self.fixed_height, scaling_factor=self.scaling_factor)
+            self.classify_page(writer.page_object, writer.scaling_factor,
+                               net_output_post, swt_feature_image)
+            logger.debug("Saving heading results to %s.xml", page_path)
+            writer.save_page_xml(page_path + ".xml")
+            pages.append(writer.page_object)
+        return pages

@@ -1,0 +1,136 @@
+"""SWT + heading stage tests."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from citlab_as_tpu.ops.swt import StrokeWidthDistanceTransform
+from citlab_as_tpu.pagexml import Page
+from citlab_as_tpu.stages.heading import (
+    HeadingNetPostProcessor, scale_to_new_interval,
+)
+
+H, W = 300, 400
+
+
+def _page_image():
+    """White page with a thick 'heading' line and two thin body lines."""
+    img = np.full((H, W), 255, np.uint8)
+    # heading: thick strokes, tall
+    for x0 in range(30, 350, 40):
+        img[40:80, x0:x0 + 24] = 0
+    # body lines: thin strokes, short
+    for y0 in (150, 220):
+        for x0 in range(30, 370, 20):
+            img[y0:y0 + 12, x0:x0 + 4] = 0
+    return img
+
+
+PAGE_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Metadata><Creator>t</Creator><Created>x</Created><LastChange>x</LastChange></Metadata>
+  <Page imageFilename="p1.png" imageWidth="400" imageHeight="300">
+    <TextRegion id="tr_head" type="paragraph">
+      <Coords points="20,30 380,30 380,90 20,90"/>
+      <TextLine id="tl_head">
+        <Coords points="20,30 380,30 380,90 20,90"/>
+        <Baseline points="20,80 380,80"/>
+        <TextEquiv><Unicode>BIG HEADING</Unicode></TextEquiv>
+      </TextLine>
+    </TextRegion>
+    <TextRegion id="tr_body" type="paragraph">
+      <Coords points="20,140 380,140 380,240 20,240"/>
+      <TextLine id="tl_b1">
+        <Coords points="20,140 380,140 380,170 20,170"/>
+        <Baseline points="20,162 380,162"/>
+        <TextEquiv><Unicode>body one</Unicode></TextEquiv>
+      </TextLine>
+      <TextLine id="tl_b2">
+        <Coords points="20,210 380,210 380,240 20,240"/>
+        <Baseline points="20,232 380,232"/>
+        <TextEquiv><Unicode>body two</Unicode></TextEquiv>
+      </TextLine>
+    </TextRegion>
+  </Page>
+</PcGts>
+"""
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    Image.fromarray(_page_image()).save(tmp_path / "p1.png")
+    (tmp_path / "page").mkdir()
+    (tmp_path / "page" / "p1.xml").write_text(PAGE_XML)
+    return tmp_path
+
+
+def test_scale_to_new_interval():
+    assert scale_to_new_interval(5, 0, 10) == 0.5
+    assert scale_to_new_interval(7, 7, 7) == 7  # degenerate -> identity
+    assert scale_to_new_interval(0, -10, 10, 0, 1) == 0.5
+
+
+def test_swt_distance_transform_strokes():
+    swt = StrokeWidthDistanceTransform(dark_on_bright=True)
+    img = _page_image()
+    dt = swt.distance_transform(img)
+    assert dt.dtype == np.uint8
+    # inside a thick heading stroke, distance is larger than in a thin stroke
+    assert dt[60, 40] > dt[156, 31]
+    # background is 0
+    assert dt[10, 10] == 0
+
+
+def test_swt_textline_features_distinguish_heading():
+    swt = StrokeWidthDistanceTransform(dark_on_bright=True)
+    dt = swt.distance_transform(_page_image())
+    sw_head, th_head = swt.textline_features(dt, (20, 30, 360, 60))
+    sw_body, th_body = swt.textline_features(dt, (20, 140, 360, 30))
+    assert sw_head > sw_body
+    assert th_head > th_body
+
+
+def test_clean_connected_components():
+    swt = StrokeWidthDistanceTransform()
+    comps = [(0, 0, 2, 10),      # too thin
+             (0, 0, 10, 10),     # ok
+             (0, 0, 600, 10),    # too wide
+             (0, 0, 100, 5)]     # aspect 20 > 8
+    cleaned = swt.clean_connected_components(comps)
+    assert cleaned == [(0, 0, 10, 10)]
+
+
+def test_heading_stage_net_only(workdir):
+    """Net probability drives classification when SWT weights are zero-ish."""
+    def predict_fn(image_grey):
+        h, w = image_grey.shape
+        prob = np.zeros((h, w, 2), np.float32)
+        prob[30:90, 20:380, 0] = 1.0  # heading band over tl_head
+        prob[..., 1] = 1.0 - prob[..., 0]
+        return prob
+
+    proc = HeadingNetPostProcessor(
+        [str(workdir / "p1.png")], predict_fn,
+        fixed_height=None, scaling_factor=1.0)
+    pages = proc.run()
+    assert len(pages) == 1
+
+    page = Page(str(workdir / "page" / "p1.xml.xml"))
+    by_id = {tl.id: tl for tl in page.get_textlines()}
+    assert by_id["tl_head"].get_semantic_type() == "heading"
+
+    regions = {tr.id: tr for tr in page.get_text_regions()}
+    assert regions["tr_head"].region_type == "heading"
+    assert regions["tr_body"].region_type == "paragraph"
+
+
+def test_heading_stage_swt_only(workdir):
+    """With net weight 0, SWT features alone find the thick/tall heading."""
+    proc = HeadingNetPostProcessor(
+        [str(workdir / "p1.png")], predict_fn=None,
+        fixed_height=None, scaling_factor=1.0,
+        weight_dict={"net": 0.0, "stroke_width": 0.5, "text_height": 0.5})
+    proc.run()
+    page = Page(str(workdir / "page" / "p1.xml.xml"))
+    by_id = {tl.id: tl for tl in page.get_textlines()}
+    assert by_id["tl_head"].get_semantic_type() == "heading"
+    assert by_id["tl_b1"].get_semantic_type() is None
