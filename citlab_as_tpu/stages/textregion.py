@@ -1,0 +1,145 @@
+"""Text region generation stage (pipeline stage 2b).
+
+Reference: article_separation/textregion_generation/textregion_generation.py:
+17-228. Per article (text lines sharing an article id): union of the normed
+baselines plus copies shifted up by 0.95 * interline distance forms a point
+cloud whose alpha-shape (alpha=75) boundary becomes the TextRegion polygon;
+reading order of lines by baseline y-center; lines lacking a surrounding
+polygon get a synthetic one from the shifted baseline.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from citlab_as_tpu.geometry.polygon import Polygon, norm_poly_dists
+from citlab_as_tpu.geometry.util import alpha_shape
+from citlab_as_tpu.pagexml import Page, Points, TextRegion
+from citlab_as_tpu.stages.baseline_clustering import get_list_of_interline_distances
+from citlab_as_tpu.utils.logging import setup_custom_logger
+
+logger = setup_custom_logger(__name__)
+
+
+def _shifted_cloud(normed_polygon: Polygon, interline_dist: float) -> Tuple[list, list]:
+    """Baseline points + copies shifted (+1, -max(0.95*d, 1)) — the text-body
+    band above the baseline (textregion_generation.py:59-73, 149-156)."""
+    x_shifted = [x + 1 for x in normed_polygon.x_points]
+    y_shift = max(int(0.95 * interline_dist), 1)
+    y_shifted = [y - y_shift for y in normed_polygon.y_points]
+    return x_shifted, y_shifted
+
+
+def get_data_from_pagexml(path_to_pagexml: str, des_dist: int = 50,
+                          max_d: int = 500) -> Tuple[dict, dict]:
+    """Returns ({article_id: [text lines]}, {line_id: (normed_poly, dist)});
+    synthesizes surrounding polygons for lines lacking one
+    (textregion_generation.py:17-79)."""
+    page_file = Page(path_to_pagexml)
+    art_txtlines_dict = page_file.get_article_dict()
+
+    lst_of_polygons = []
+    lst_of_txtlines = []
+    for txtline in page_file.get_textlines():
+        if txtline.baseline is None:
+            continue
+        baseline = txtline.baseline.to_polygon()
+        if baseline.n_points > 1:
+            lst_of_polygons.append(baseline)
+            lst_of_txtlines.append(txtline)
+
+    lst_of_normed = norm_poly_dists(lst_of_polygons, des_dist=des_dist)
+    lst_of_dists = get_list_of_interline_distances(lst_of_polygons, max_d=max_d)
+
+    txtline_dict = {}
+    for i, txtline in enumerate(lst_of_txtlines):
+        if txtline.surr_p is None:
+            normed = lst_of_normed[i]
+            x_shifted, y_shifted = _shifted_cloud(normed, lst_of_dists[i])
+            sp_points = list(zip(normed.x_points + x_shifted[::-1],
+                                 normed.y_points + y_shifted[::-1]))
+            for article in art_txtlines_dict:
+                for ref_txtline in art_txtlines_dict[article]:
+                    if ref_txtline.id == txtline.id:
+                        ref_txtline.surr_p = Points(sp_points)
+        txtline_dict[txtline.id] = (lst_of_normed[i], lst_of_dists[i])
+
+    return art_txtlines_dict, txtline_dict
+
+
+def txtlines_set_reading_order(lst_of_txtlines) -> None:
+    """Reading order by baseline y-center (textregion_generation.py:82-99)."""
+    centers = []
+    for txtline in lst_of_txtlines:
+        poly = txtline.baseline.to_polygon()
+        centers.append((sum(poly.y_points) / len(poly.y_points), txtline))
+    centers.sort(key=lambda c: c[0])
+    for reading_order, (_, txtline) in enumerate(centers):
+        txtline.custom["readingOrder"] = {"index": reading_order}
+
+
+def create_text_regions(art_txtlines_dict: dict, txtline_dict: dict,
+                        alpha: float = 75) -> Dict[str, tuple]:
+    """{region_id: (boundary points, text lines, reading order)} via
+    alpha-shape over the article's baseline cloud
+    (textregion_generation.py:131-193). None-article lines become singleton
+    regions."""
+    out: Dict[str, tuple] = {}
+    counter = 0
+
+    def boundary_of(points: List[tuple]) -> List[list]:
+        boundary = alpha_shape(np.array(points), alpha=alpha)
+        return [[int(c) for c in p] for p in boundary]
+
+    for article_id, txtlines in art_txtlines_dict.items():
+        if article_id is None:
+            for txtline in txtlines:
+                if txtline.id not in txtline_dict:
+                    continue
+                normed, dist = txtline_dict[txtline.id]
+                x_shifted, y_shifted = _shifted_cloud(normed, dist)
+                pts = list(zip(normed.x_points + x_shifted,
+                               normed.y_points + y_shifted))
+                out[f"tr_{counter}"] = (boundary_of(pts), [txtline], counter)
+                counter += 1
+        else:
+            pts: List[tuple] = []
+            lst = []
+            for txtline in txtlines:
+                if txtline.id not in txtline_dict:
+                    continue
+                lst.append(txtline)
+                normed, dist = txtline_dict[txtline.id]
+                x_shifted, y_shifted = _shifted_cloud(normed, dist)
+                pts += list(zip(normed.x_points + x_shifted,
+                                normed.y_points + y_shifted))
+            if not pts:
+                continue
+            out[f"tr_{counter}"] = (boundary_of(pts), lst, counter)
+            counter += 1
+    return out
+
+
+def save_results_in_pagexml(path_to_pagexml: str, text_region_txtline_dict: dict) -> None:
+    """Overwrite the page's TextRegions (textregion_generation.py:102-128)."""
+    page_file = Page(path_to_pagexml)
+    regions = []
+    for region_id, (boundary, txtlines, reading_order) in text_region_txtline_dict.items():
+        txtlines_set_reading_order(txtlines)
+        regions.append(TextRegion(
+            _id=region_id, region_type="paragraph",
+            custom={"readingOrder": {"index": reading_order}},
+            points=boundary, text_lines=txtlines))
+    page_file.set_text_regions(regions, overwrite=True)
+    page_file.write_page_xml(path_to_pagexml)
+
+
+def generate_text_regions_for_page(path_to_pagexml: str, des_dist: int = 50,
+                                   max_d: int = 100, alpha: float = 75) -> dict:
+    """Full per-page flow (the run_textregion_generation per-file unit)."""
+    art_dict, txtline_dict = get_data_from_pagexml(
+        path_to_pagexml, des_dist=des_dist, max_d=max_d)
+    region_dict = create_text_regions(art_dict, txtline_dict, alpha=alpha)
+    save_results_in_pagexml(path_to_pagexml, region_dict)
+    return region_dict

@@ -1,0 +1,144 @@
+"""Baseline clustering (DBSCAN) + text region generation stage tests."""
+import numpy as np
+import pytest
+
+from citlab_as_tpu.geometry.polygon import Polygon
+from citlab_as_tpu.pagexml import Page
+from citlab_as_tpu.stages.baseline_clustering import (
+    DBSCANBaselines, cluster_baselines_dbscan, cluster_page,
+    get_list_of_scaled_polygons,
+)
+from citlab_as_tpu.stages.textregion import (
+    create_text_regions, generate_text_regions_for_page,
+)
+
+
+def _column(x0, x1, y0, n, dy):
+    return [Polygon([x0, x1], [y0 + i * dy, y0 + i * dy]) for i in range(n)]
+
+
+def test_scaled_polygons_truncate():
+    p = Polygon([0, 99], [0, 99])
+    (s,) = get_list_of_scaled_polygons([p], 0.505)
+    assert s.x_points == [0, 49]  # 49.995 truncated
+
+
+def test_two_columns_two_clusters():
+    left = _column(50, 400, 100, 8, 60)
+    right = _column(600, 950, 100, 8, 60)
+    labels = cluster_baselines_dbscan(left + right)
+    left_labels = set(labels[:8])
+    right_labels = set(labels[8:])
+    assert len(left_labels) == 1 and len(right_labels) == 1
+    assert left_labels != right_labels
+
+
+def test_vertical_gap_splits_cluster():
+    top = _column(50, 400, 100, 5, 60)
+    bottom = _column(50, 400, 1500, 5, 60)  # far below
+    labels = cluster_baselines_dbscan(top + bottom)
+    assert set(labels[:5]) != set(labels[5:])
+    assert len(set(labels)) == 2
+
+
+def test_noise_becomes_singleton_articles():
+    col = _column(50, 400, 100, 6, 60)
+    loner = Polygon([50, 400], [5000, 5000])
+    labels = cluster_baselines_dbscan(col + [loner])
+    assert len(set(labels[:6])) == 1
+    assert labels[6] not in set(labels[:6])
+
+
+def test_min_polygons_for_article():
+    col = _column(50, 400, 100, 6, 60)
+    loner = Polygon([50, 400], [5000, 5000])
+    labels = cluster_baselines_dbscan(
+        col + [loner], min_polygons_for_article=2)
+    assert labels[6] == -1  # noise stays noise
+
+
+def test_dbscan_object_centers():
+    col = _column(50, 400, 100, 6, 60)
+    obj = DBSCANBaselines(col)
+    obj.clustering_polygons()
+    labels = obj.get_cluster_of_polygons()
+    assert len(set(labels)) == 1
+    assert any(obj.list_if_center)
+
+
+PAGE_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Metadata><Creator>t</Creator><Created>x</Created><LastChange>x</LastChange></Metadata>
+  <Page imageFilename="p.png" imageWidth="1000" imageHeight="1200">
+    <TextRegion id="tr_old" type="paragraph">
+      <Coords points="0,0 1000,0 1000,1200 0,1200"/>
+      {lines}
+    </TextRegion>
+  </Page>
+</PcGts>
+"""
+
+LINE_TPL = """<TextLine id="tl_{i}">
+  <Coords points="{x0},{yt} {x1},{yt} {x1},{yb} {x0},{yb}"/>
+  <Baseline points="{x0},{y} {x1},{y}"/>
+  <TextEquiv><Unicode>line {i}</Unicode></TextEquiv>
+</TextLine>"""
+
+
+def _write_two_column_page(tmp_path):
+    lines = []
+    i = 0
+    for x0, x1 in ((50, 400), (600, 950)):
+        for k in range(6):
+            y = 100 + k * 60
+            lines.append(LINE_TPL.format(i=i, x0=x0, x1=x1, y=y, yt=y - 40, yb=y + 10))
+            i += 1
+    p = tmp_path / "page.xml"
+    p.write_text(PAGE_XML.format(lines="\n".join(lines)))
+    return str(p)
+
+
+def test_cluster_page_writes_article_ids(tmp_path):
+    path = _write_two_column_page(tmp_path)
+    labels = cluster_page(path)
+    assert len(labels) == 12
+    page = Page(path)
+    ids = [tl.get_article_id() for tl in page.get_textlines()]
+    assert all(a is not None for a in ids)
+    assert len(set(ids[:6])) == 1 and len(set(ids[6:])) == 1
+    assert set(ids[:6]) != set(ids[6:])
+
+
+def test_text_region_generation_end_to_end(tmp_path):
+    path = _write_two_column_page(tmp_path)
+    cluster_page(path)
+    region_dict = generate_text_regions_for_page(path, des_dist=50, max_d=100, alpha=75)
+    assert len(region_dict) == 2
+
+    page = Page(path)
+    regions = page.get_text_regions()
+    assert len(regions) == 2
+    assert {r.id for r in regions} == set(region_dict.keys())
+    for region in regions:
+        assert len(region.text_lines) == 6
+        # reading order present and increasing with y
+        orders = [int(tl.custom["readingOrder"]["index"]) for tl in region.text_lines]
+        assert sorted(orders) == list(range(6))
+        # boundary contains its lines' baselines
+        poly = region.points.to_polygon()
+        bb = poly.get_bounding_box()
+        for tl in region.text_lines:
+            for x, y in tl.baseline.points_list:
+                assert bb.x - 5 <= x <= bb.x + bb.width + 5
+                assert bb.y - 5 <= y <= bb.y + bb.height + 5
+
+
+def test_none_article_lines_become_singletons(tmp_path):
+    lines = [LINE_TPL.format(i=0, x0=50, x1=400, y=100, yt=60, yb=110)]
+    p = tmp_path / "page.xml"
+    p.write_text(PAGE_XML.format(lines="\n".join(lines)))
+    # no clustering first: line has no article id -> singleton region
+    region_dict = generate_text_regions_for_page(str(p))
+    assert len(region_dict) == 1
+    page = Page(str(p))
+    assert len(page.get_text_regions()) == 1
