@@ -1,0 +1,159 @@
+"""Model loading + jitted inference wrappers (the frozen-.pb replacement).
+
+The reference runs frozen TF1 graphs through tf.Session
+(net_post_processing_helper.py:36-72, gnn/io.py:12-25). Here models are
+orbax checkpoints of flax params; predictors pad inputs to shape buckets so
+XLA compiles a handful of programs, then crop back.
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from citlab_as_tpu.models.arunet import ARUNet
+from citlab_as_tpu.models.gnn.graph import (
+    batch_graphs, build_full_relations, correct_edges, pad_graph,
+)
+from citlab_as_tpu.models.gnn.model import GraphRelation
+from citlab_as_tpu.train.checkpoint import latest_checkpoint_step, restore_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+class SegmentationPredictor:
+    """ARU-Net forward: grayscale [H, W] in [0, 1] -> probabilities [H, W, C].
+
+    ``model_dir``: orbax checkpoint dir (latest step restored); None -> fresh
+    random init (useful before training / in tests, logged loudly).
+    """
+
+    def __init__(self, model_dir: Optional[str] = None, n_classes: int = 2,
+                 graph_params: Optional[Dict[str, Any]] = None,
+                 dtype=jnp.bfloat16, pad_multiple: int = 64, seed: int = 0):
+        self.model = ARUNet(n_classes=n_classes, graph_params=graph_params,
+                            dtype=dtype)
+        self.pad_multiple = pad_multiple
+        init_x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+        variables = self.model.init(jax.random.PRNGKey(seed), init_x)
+        if model_dir is not None:
+            step = latest_checkpoint_step(model_dir)
+            state, loaded = restore_checkpoint(model_dir, {"params": variables})
+            if loaded is None:
+                raise FileNotFoundError(f"No checkpoint found in {model_dir}")
+            variables = state["params"]
+            logger.info("Restored ARU-Net params from %s (step %s)", model_dir, step)
+        else:
+            logger.warning("SegmentationPredictor using RANDOM params "
+                           "(no model_dir given).")
+        self.variables = variables
+
+        @jax.jit
+        def forward(variables, image):
+            logits, _ = self.model.apply(variables, image)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._forward = forward
+
+    def __call__(self, image_grey: np.ndarray) -> np.ndarray:
+        h, w = image_grey.shape[:2]
+        ph = _round_up(h, self.pad_multiple)
+        pw = _round_up(w, self.pad_multiple)
+        x = np.zeros((1, ph, pw, 1), np.float32)
+        x[0, :h, :w, 0] = image_grey
+        probs = self._forward(self.variables, jnp.asarray(x))
+        return np.asarray(probs)[0, :h, :w, :]
+
+    def predict_batch(self, images: Sequence[np.ndarray]) -> list:
+        """Batch same-bucket images for throughput; returns per-image HWC."""
+        if not images:
+            return []
+        ph = _round_up(max(im.shape[0] for im in images), self.pad_multiple)
+        pw = _round_up(max(im.shape[1] for im in images), self.pad_multiple)
+        x = np.zeros((len(images), ph, pw, 1), np.float32)
+        for i, im in enumerate(images):
+            x[i, :im.shape[0], :im.shape[1], 0] = im
+        probs = np.asarray(self._forward(self.variables, jnp.asarray(x)))
+        return [probs[i, :im.shape[0], :im.shape[1], :]
+                for i, im in enumerate(images)]
+
+
+class RelationPredictor:
+    """GraphRelation forward over one page's graph JSON dict -> [N, N]
+    confidence matrix (the run_gnn_clustering device step)."""
+
+    def __init__(self, model_dir: Optional[str] = None, num_classes: int = 2,
+                 gnn_params=None, message_params=None, update_params=None,
+                 node_feature_mask: Optional[Sequence[int]] = None,
+                 edge_feature_mask: Optional[Sequence[int]] = None,
+                 node_buckets: Sequence[int] = (16, 32, 64, 128, 256),
+                 seed: int = 0):
+        self.model = GraphRelation(
+            num_classes=num_classes, gnn_params=gnn_params,
+            message_params=message_params, update_params=update_params)
+        self.node_feature_mask = node_feature_mask
+        self.edge_feature_mask = edge_feature_mask
+        self.node_buckets = list(node_buckets)
+        self.model_dir = model_dir
+        self.seed = seed
+        self.variables = None
+
+        self._predict = jax.jit(
+            lambda v, b: jax.nn.softmax(self.model.apply(v, b), axis=-1)[..., 1])
+
+    def _ensure_params(self, example_inputs):
+        if self.variables is not None:
+            return
+        variables = self.model.init(jax.random.PRNGKey(self.seed), example_inputs)
+        if self.model_dir is not None:
+            state, loaded = restore_checkpoint(self.model_dir, {"params": variables})
+            if loaded is None:
+                # maybe a best/<metric> export dir
+                from citlab_as_tpu.train.checkpoint import _checkpointer, _arrayify
+                import os
+                if os.path.isdir(self.model_dir):
+                    variables = _checkpointer().restore(
+                        os.path.abspath(self.model_dir), _arrayify(variables))
+                else:
+                    raise FileNotFoundError(f"No checkpoint in {self.model_dir}")
+            else:
+                variables = state["params"]
+            logger.info("Restored GNN params from %s", self.model_dir)
+        else:
+            logger.warning("RelationPredictor using RANDOM params.")
+        self.variables = variables
+
+    def _bucket(self, n: int) -> int:
+        for b in self.node_buckets:
+            if n <= b:
+                return b
+        return self.node_buckets[-1]
+
+    def confidences(self, graph: dict) -> np.ndarray:
+        from citlab_as_tpu.train.input_pipeline import apply_feature_masks
+        n = int(graph["num_nodes"])
+        node_features = apply_feature_masks(
+            np.asarray(graph["node_features"], np.float32), self.node_feature_mask)
+        edge_features = apply_feature_masks(
+            np.asarray(graph["edge_features"], np.float32), self.edge_feature_mask)
+        edges, edge_features = correct_edges(
+            np.asarray(graph["interacting_nodes"], np.int32), edge_features, n)
+        rels, _, _ = build_full_relations(n, None)
+
+        max_nodes = self._bucket(n)
+        g = pad_graph(n, node_features, edges, edge_features, rels, None,
+                      max_nodes, max(len(edges), 1), max_nodes * max_nodes)
+        inputs = {k: jnp.asarray(v) for k, v in batch_graphs([g]).items()}
+        self._ensure_params(inputs)
+        conf = np.asarray(self._predict(self.variables, inputs))[0]
+        return conf[:n * n].reshape(n, n)
+
+    __call__ = confidences

@@ -482,7 +482,8 @@ def generate_feature_jsons(page_paths: Sequence[str],
                            visual_regions: bool = True,
                            json_list: Optional[Sequence[str]] = None,
                            tb_similarity_setup=(None, None),
-                           separators: str = "line") -> List[str]:
+                           separators: str = "line",
+                           image_paths: Optional[Sequence[str]] = None) -> List[str]:
     """Write one graph-feature JSON per page (feature_generation.py:816-911).
     Returns the list of written paths."""
     external = []
@@ -500,12 +501,16 @@ def generate_feature_jsons(page_paths: Sequence[str],
     create_default_dir = out_path is None
     written, skipped = [], []
     start = time.time()
-    for page_path in page_paths:
+    for idx, page_path in enumerate(page_paths):
         logger.info("Processing... %s", page_path)
+        image = None
+        if image_paths is not None:
+            from citlab_as_tpu.utils.io import load_image
+            image = load_image(image_paths[idx], mode="L")
         out = build_input_and_target(
             page_path, interaction=interaction, visual_regions=visual_regions,
             external_data=external, sim_feat_extractor=sim_feat_extractor,
-            separators=separators)
+            separators=separators, image=image)
         if out is None:
             skipped.append(page_path)
             continue

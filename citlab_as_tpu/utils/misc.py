@@ -28,8 +28,17 @@ def chunk_list(lst: Sequence[T], max_chunk: int) -> List[List[T]]:
 
 
 def filter_by_attribute(objects: Iterable[T], attr: str, value) -> List[T]:
-    """Return objects whose ``attr`` equals ``value`` (python_util/basic/list_util.py:4)."""
+    """Return objects whose ``attr`` equals ``value``."""
     return [o for o in objects if getattr(o, attr, None) == value]
+
+
+def group_by_attribute(objects: Iterable[T], attr: str) -> dict:
+    """Group objects into {attr value: [objects]} (the reference's
+    list_util.filter_by_attribute semantics, python_util/basic/list_util.py:4)."""
+    out: dict = {}
+    for o in objects:
+        out.setdefault(getattr(o, attr, None), []).append(o)
+    return out
 
 
 def flatten(nested: Iterable[Iterable[T]]) -> List[T]:

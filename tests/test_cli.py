@@ -1,0 +1,145 @@
+"""CLI + full-workflow smoke tests on synthetic pages."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from citlab_as_tpu.pagexml import Page
+
+
+def _page_with_lines(tmp_path, name="p1", w=400, h=320):
+    """Two text columns -> two articles after clustering (>= 2 GNN nodes)."""
+    img = np.full((h, w), 255, np.uint8)
+    # text strokes for the SWT / nets
+    for y0 in (60, 120, 180, 240):
+        for x0 in list(range(30, 170, 25)) + list(range(230, 370, 25)):
+            img[y0:y0 + 12, x0:x0 + 5] = 0
+    Image.fromarray(img).save(tmp_path / f"{name}.png")
+    lines = []
+    i = 0
+    for x0, x1 in ((30, 170), (230, 370)):
+        for y in (72, 132, 192, 252):
+            lines.append(f'''<TextLine id="tl_{i}">
+      <Coords points="{x0},{y - 15} {x1},{y - 15} {x1},{y + 3} {x0},{y + 3}"/>
+      <Baseline points="{x0},{y} {x1},{y}"/>
+      <TextEquiv><Unicode>line number {i}</Unicode></TextEquiv>
+    </TextLine>''')
+            i += 1
+    xml = f'''<?xml version="1.0" encoding="UTF-8"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Metadata><Creator>t</Creator><Created>x</Created><LastChange>x</LastChange></Metadata>
+  <Page imageFilename="{name}.png" imageWidth="{w}" imageHeight="{h}">
+    <TextRegion id="tr_1" type="paragraph">
+      <Coords points="20,40 380,40 380,270 20,270"/>
+{chr(10).join(lines)}
+    </TextRegion>
+  </Page>
+</PcGts>'''
+    (tmp_path / "page").mkdir(exist_ok=True)
+    (tmp_path / "page" / f"{name}.xml").write_text(xml)
+    return str(tmp_path / f"{name}.png")
+
+
+def test_baseline_clustering_cli(tmp_path):
+    from citlab_as_tpu.cli.run_baseline_clustering import main
+    _page_with_lines(tmp_path)
+    page_path = str(tmp_path / "page" / "p1.xml")
+    main(["--path_to_xml_file", page_path])
+    page = Page(page_path)
+    assert all(tl.get_article_id() for tl in page.get_textlines())
+
+
+def test_textregion_cli(tmp_path):
+    from citlab_as_tpu.cli.run_baseline_clustering import main as cluster_main
+    from citlab_as_tpu.cli.run_textregion_generation import main as region_main
+    _page_with_lines(tmp_path)
+    page_path = str(tmp_path / "page" / "p1.xml")
+    cluster_main(["--path_to_xml_file", page_path])
+    region_main(["--path_to_xml_file", page_path])
+    page = Page(page_path)
+    assert len(page.get_text_regions()) >= 1
+
+
+def test_feature_generation_cli(tmp_path):
+    from citlab_as_tpu.cli.run_baseline_clustering import main as cluster_main
+    from citlab_as_tpu.cli.run_feature_generation import main as feat_main
+    from citlab_as_tpu.cli.run_textregion_generation import main as region_main
+    _page_with_lines(tmp_path)
+    page_path = str(tmp_path / "page" / "p1.xml")
+    cluster_main(["--path_to_xml_file", page_path])
+    region_main(["--path_to_xml_file", page_path])
+    lst = tmp_path / "pages.lst"
+    lst.write_text(page_path + "\n")
+    out_dir = str(tmp_path / "json_out")
+    feat_main(["--pagexml_list", str(lst), "--out_path", out_dir])
+    jsons = os.listdir(out_dir)
+    assert len(jsons) == 1
+    with open(os.path.join(out_dir, jsons[0])) as f:
+        graph = json.load(f)
+    assert graph["num_nodes"] >= 2
+
+
+def test_measure_cli(tmp_path):
+    from citlab_as_tpu.cli.run_measure import main
+    from citlab_as_tpu.cli.run_baseline_clustering import main as cluster_main
+    _page_with_lines(tmp_path)
+    page_path = str(tmp_path / "page" / "p1.xml")
+    cluster_main(["--path_to_xml_file", page_path])
+    gt_lst = tmp_path / "gt.lst"
+    gt_lst.write_text(page_path + "\n")
+    out = main(["--path_to_gt_xml_lst", str(gt_lst),
+                "--path_to_hy_xml_lst", str(gt_lst),
+                "--min_tol", "10", "--max_tol", "30"])
+    assert out["as"][2] == pytest.approx(1.0)
+
+
+def test_page_preprocessing_cli(tmp_path):
+    from citlab_as_tpu.cli.run_page_preprocessing import main
+    _page_with_lines(tmp_path)
+    page_path = str(tmp_path / "page" / "p1.xml")
+    lst = tmp_path / "pages.lst"
+    lst.write_text(page_path + "\n")
+    main(["--page_path_list", str(lst), "--overwrite"])
+    assert Page(page_path).get_textlines()
+
+
+def test_full_workflow_smoke(tmp_path):
+    """All five stages end-to-end on one tiny page. Synthetic segmentation
+    predictors (a clean vertical separator between the two columns; a benign
+    heading map) stand in for trained nets; the GNN runs randomly
+    initialized."""
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+
+    def separator_predictor(image_grey):
+        h, w = image_grey.shape
+        prob = np.zeros((h, w, 2), np.float32)
+        x = w // 2
+        prob[10:h - 10, x - 2:x + 2, 0] = 0.9  # vertical separator mid-page
+        prob[..., 1] = 1.0 - prob[..., 0]
+        return prob
+
+    def heading_predictor(image_grey):
+        h, w = image_grey.shape
+        prob = np.zeros((h, w, 2), np.float32)
+        prob[..., 1] = 1.0
+        return prob
+
+    img_path = _page_with_lines(tmp_path)
+    result = run_full_workflow(
+        [img_path], clustering_method="dbscan", out_dir=str(tmp_path / "out"),
+        separator_predictor=separator_predictor,
+        heading_predictor=heading_predictor)
+    assert len(result["pages"]) == 1
+    out_page = result["pages"][0]
+    assert os.path.exists(out_page)
+    page = Page(out_page)
+    # pipeline produced text regions with article ids
+    assert page.get_text_regions()
+    assert all(tl.get_article_id() for tl in page.get_textlines())
+    # GNN clustering output written
+    assert result["clustered"] and os.path.exists(result["clustered"][0])
+    assert set(result["timings"]) >= {
+        "separator", "heading", "baseline_clustering", "textregion",
+        "features", "gnn_clustering"}
