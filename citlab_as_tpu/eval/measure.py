@@ -74,7 +74,19 @@ class BaselineMeasureEval:
         self.measure = BaselineMeasure()
 
     def calc_measure_for_page_baseline_polys(self, polys_truth: List[Polygon],
-                                             polys_reco: List[Polygon]) -> None:
+                                             polys_reco: List[Polygon],
+                                             use_native: bool = True) -> None:
+        if use_native:
+            from citlab_as_tpu.geometry.native import calc_metric_native
+            native = calc_metric_native(
+                polys_truth, polys_reco, self.max_tols.astype(float),
+                self.poly_tick_dist, self.rel_tol)
+            if native is not None:
+                precision, recall = native
+                self.measure.add_per_dist_tol_tick_per_line_precision(precision)
+                self.measure.add_per_dist_tol_tick_per_line_recall(recall)
+                return
+
         polys_truth_norm = norm_poly_dists(polys_truth, self.poly_tick_dist)
         polys_reco_norm = norm_poly_dists(polys_reco, self.poly_tick_dist)
 

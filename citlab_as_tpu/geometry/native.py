@@ -1,0 +1,148 @@
+"""ctypes bindings for the native geometry kernel
+(native/geometry_kernel.cpp — the java_util/Util.class replacement).
+
+The library is built on demand with ``make -C native`` (g++, no external
+deps). All functions fall back to the numpy implementations when the build
+is unavailable; results are bit-identical (golden tests cross-check), so the
+native path is purely a host-speed optimization — the same dual-
+implementation QA strategy the reference used between Java and Python.
+
+Disable with CITLAB_AS_TPU_NATIVE=0.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from citlab_as_tpu.geometry.polygon import Polygon
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgeometry_kernel.so")
+
+_lib = None
+_load_attempted = False
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception as e:
+        logger.info("Native geometry kernel build failed: %s", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _lib is not None:
+        return _lib
+    if _load_attempted:
+        return None
+    _load_attempted = True
+    if os.environ.get("CITLAB_AS_TPU_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_LIB_PATH) and not _try_build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        logger.info("Could not load native geometry kernel: %s", e)
+        return None
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lib.gk_interline_distances_normed.argtypes = [
+        dp, ip, ctypes.c_int32, ctypes.c_int32, ctypes.c_double, dp]
+    lib.gk_calc_tols.argtypes = [
+        dp, ip, ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+        ctypes.c_double, dp]
+    lib.gk_calc_metric.argtypes = [
+        dp, ip, ctypes.c_int32, dp, ip, ctypes.c_int32,
+        dp, ctypes.c_int32, ctypes.c_int32, ctypes.c_double, dp, dp]
+    lib.gk_norm_poly_sizes.argtypes = [dp, ip, ctypes.c_int32, ctypes.c_int32]
+    lib.gk_norm_poly_sizes.restype = ctypes.c_int32
+    lib.gk_norm_poly_dists.argtypes = [dp, ip, ctypes.c_int32, ctypes.c_int32, dp, ip]
+    _lib = lib
+    logger.info("Loaded native geometry kernel from %s", _LIB_PATH)
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def _pack(polys: Sequence[Polygon]) -> Tuple[np.ndarray, np.ndarray]:
+    offsets = np.zeros(len(polys) + 1, np.int32)
+    for i, p in enumerate(polys):
+        offsets[i + 1] = offsets[i] + p.n_points
+    coords = np.empty((int(offsets[-1]), 2), np.float64)
+    for i, p in enumerate(polys):
+        coords[offsets[i]:offsets[i + 1], 0] = p.x_points
+        coords[offsets[i]:offsets[i + 1], 1] = p.y_points
+    return np.ascontiguousarray(coords), offsets
+
+
+def _dp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _ip(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def interline_distances_native(normed_polys: Sequence[Polygon],
+                               des_dist: int, max_d: float) -> Optional[List[float]]:
+    lib = get_lib()
+    if lib is None or not normed_polys:
+        return None
+    coords, offsets = _pack(normed_polys)
+    out = np.empty(len(normed_polys), np.float64)
+    lib.gk_interline_distances_normed(
+        _dp(coords), _ip(offsets), len(normed_polys), des_dist,
+        float(max_d), _dp(out))
+    return out.tolist()
+
+
+def calc_tols_native(normed_polys: Sequence[Polygon], tick_dist: int,
+                     max_d: float, rel_tol: float) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None or not normed_polys:
+        return None
+    coords, offsets = _pack(normed_polys)
+    out = np.empty(len(normed_polys), np.float64)
+    lib.gk_calc_tols(_dp(coords), _ip(offsets), len(normed_polys),
+                     tick_dist, float(max_d), float(rel_tol), _dp(out))
+    return out
+
+
+def calc_metric_native(polys_truth: Sequence[Polygon],
+                       polys_reco: Sequence[Polygon],
+                       tols: np.ndarray, tick_dist: int, rel_tol: float
+                       ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(precision [n_tols, n_reco], recall [n_tols, n_truth]) for RAW polys
+    (the Java calcMetricForPageBaseLinePolys fast path)."""
+    lib = get_lib()
+    if lib is None or not polys_truth or not polys_reco:
+        return None
+    t_coords, t_offsets = _pack(polys_truth)
+    r_coords, r_offsets = _pack(polys_reco)
+    tols = np.ascontiguousarray(np.asarray(tols, np.float64))
+    n_tols = len(tols)
+    precision = np.empty((n_tols, len(polys_reco)), np.float64)
+    recall = np.empty((n_tols, len(polys_truth)), np.float64)
+    lib.gk_calc_metric(
+        _dp(t_coords), _ip(t_offsets), len(polys_truth),
+        _dp(r_coords), _ip(r_offsets), len(polys_reco),
+        _dp(tols), n_tols, tick_dist, float(rel_tol),
+        _dp(precision), _dp(recall))
+    return precision, recall

@@ -154,7 +154,14 @@ def calc_interline_distances(
 ) -> List[float]:
     """Interline distance per normed baseline (dbscan_baselines.py:63-110 /
     Java ``calcInterlineDistances``). Polygons must already be normed via
-    ``norm_poly_dists``; returns max_d where no neighbor qualifies."""
+    ``norm_poly_dists``; returns max_d where no neighbor qualifies.
+
+    Uses the native C++ kernel when built (bit-identical; see
+    geometry/native.py), otherwise the vectorized numpy path."""
+    from citlab_as_tpu.geometry.native import interline_distances_native
+    native = interline_distances_native(normed_polys, des_dist, max_d)
+    if native is not None:
+        return native
     return min_perpendicular_distances(normed_polys, tick_dist=des_dist, max_d=max_d)
 
 
@@ -166,7 +173,13 @@ def calc_tols(
 ) -> np.ndarray:
     """Per-GT-baseline tolerance values (geometry/util.py:831-902, after
     arXiv 1705.03311): min perpendicular distance to other baselines, 0 where
-    none found, then mean-fill zeros, clip at the mean, scale by rel_tol."""
+    none found, then mean-fill zeros, clip at the mean, scale by rel_tol.
+
+    Uses the native C++ kernel when built (bit-identical)."""
+    from citlab_as_tpu.geometry.native import calc_tols_native
+    native = calc_tols_native(polys_truth, tick_dist, max_d, rel_tol)
+    if native is not None:
+        return native
     dists = min_perpendicular_distances(polys_truth, tick_dist=tick_dist, max_d=max_d)
     tols = np.array([d if d < max_d else 0.0 for d in dists], dtype=np.float64)
 

@@ -1,0 +1,445 @@
+// Native geometry kernel — the java_util/Util.class replacement.
+//
+// Implements the hot pairwise baseline loops exactly as the reference's
+// Python fallbacks define them (dbscan_baselines.py:63-110,
+// geometry/util.py:831-902, eval_measure.py:65-258), including the
+// order-dependent running-minimum bbox skip. Exposed through a C ABI and
+// loaded via ctypes (citlab_as_tpu/geometry/native.py); results must be
+// bit-identical to the numpy implementations (golden-tested).
+//
+// Entry points:
+//   gk_norm_poly_dists     — blow_up + thin_out baseline normalization
+//   gk_interline_distances — per-baseline min perpendicular distance
+//   gk_calc_tols           — measure tolerance values per GT baseline
+//   gk_calc_metric         — precision/recall matrices for the AS measure
+//
+// Build: make -C native   (produces native/libgeometry_kernel.so)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+struct Poly {
+    std::vector<double> x;
+    std::vector<double> y;
+    double bb_x0 = 0, bb_y0 = 0, bb_x1 = 0, bb_y1 = 0;  // x, y, x+w, y+h
+
+    void calc_bounds() {
+        double minx = x[0], maxx = x[0], miny = y[0], maxy = y[0];
+        for (size_t i = 1; i < x.size(); ++i) {
+            minx = std::min(minx, x[i]);
+            maxx = std::max(maxx, x[i]);
+            miny = std::min(miny, y[i]);
+            maxy = std::max(maxy, y[i]);
+        }
+        // width = max-min+1 convention (polygon.py calculate_bounds)
+        bb_x0 = minx;
+        bb_y0 = miny;
+        bb_x1 = minx + (maxx - minx + 1);
+        bb_y1 = miny + (maxy - miny + 1);
+    }
+};
+
+// round_to_nearest_integer (rounding.py:20-31): x%1>=0.5 -> trunc(x)+1
+inline long round_half_up(double v) {
+    double frac = v - std::floor(v);  // Python x % 1 for divisor 1
+    double base = std::trunc(v);
+    return (long)(frac >= 0.5 ? base + 1 : base);
+}
+
+Poly blow_up(const Poly& p) {
+    Poly res;
+    size_t n = p.x.size();
+    if (n < 2) { res = p; return res; }
+    for (size_t i = 1; i < n; ++i) {
+        double x1 = p.x[i - 1], y1 = p.y[i - 1];
+        double x2 = p.x[i], y2 = p.y[i];
+        long diff_x = (long)std::llabs((long long)(x2 - x1));
+        long diff_y = (long)std::llabs((long long)(y2 - y1));
+        if (std::max(diff_x, diff_y) < 1) {
+            if (i == n - 1) { res.x.push_back(x2); res.y.push_back(y2); }
+            continue;
+        }
+        res.x.push_back(x1);
+        res.y.push_back(y1);
+        if (diff_x >= diff_y) {
+            for (long j = 1; j < diff_x; ++j) {
+                double xn = x1 < x2 ? x1 + j : x1 - j;
+                double yn = (double)round_half_up(y1 + (xn - x1) * (y2 - y1) / (x2 - x1));
+                res.x.push_back(xn);
+                res.y.push_back(yn);
+            }
+        } else {
+            for (long j = 1; j < diff_y; ++j) {
+                double yn = y1 < y2 ? y1 + j : y1 - j;
+                double xn = (double)round_half_up(x1 + (yn - y1) * (x2 - x1) / (y2 - y1));
+                res.x.push_back(xn);
+                res.y.push_back(yn);
+            }
+        }
+        if (i == n - 1) { res.x.push_back(x2); res.y.push_back(y2); }
+    }
+    return res;
+}
+
+Poly thin_out(const Poly& p, long des_dist) {
+    if (p.x.size() <= 20) return p;
+    Poly res;
+    long dist = (long)p.x.size() - 1;
+    long des_pts = std::max(20L, dist / des_dist + 1);
+    double step = (double)dist / (double)(des_pts - 1);
+    for (long i = 0; i < des_pts - 1; ++i) {
+        long idx = (long)(i * step);
+        res.x.push_back(p.x[idx]);
+        res.y.push_back(p.y[idx]);
+    }
+    res.x.push_back(p.x.back());
+    res.y.push_back(p.y.back());
+    return res;
+}
+
+Poly norm_poly(const Poly& p, long des_dist) {
+    // huge-bbox guard (polygon.py:256-259)
+    double minx = p.x[0], maxx = p.x[0], miny = p.y[0], maxy = p.y[0];
+    for (size_t i = 1; i < p.x.size(); ++i) {
+        minx = std::min(minx, p.x[i]);
+        maxx = std::max(maxx, p.x[i]);
+        miny = std::min(miny, p.y[i]);
+        maxy = std::max(maxy, p.y[i]);
+    }
+    Poly src = p;
+    if (maxx - minx + 1 > 100000 || maxy - miny + 1 > 100000) {
+        src.x = {0}; src.y = {0};
+    }
+    Poly out = thin_out(blow_up(src), des_dist);
+    out.calc_bounds();
+    return out;
+}
+
+// calc_reg_line_stats angle (polygon.py:271-319)
+double reg_line_angle(const Poly& p) {
+    size_t n = p.x.size();
+    if (n <= 1) return 0.0;
+    double m;
+    bool inf_slope = false;
+    if (n > 2) {
+        double xmax = *std::max_element(p.x.begin(), p.x.end());
+        double xmin = *std::min_element(p.x.begin(), p.x.end());
+        if (xmax == xmin) {
+            inf_slope = true;
+            m = 0;
+        } else if (xmax - xmin < 2) {
+            inf_slope = true;  // calc_line's x-range guard
+            m = 0;
+        } else {
+            // 2x2 normal equations on (x, -y)
+            double s1 = (double)n, sx = 0, sxx = 0, sy = 0, sxy = 0;
+            for (size_t i = 0; i < n; ++i) {
+                double xi = p.x[i], yi = -p.y[i];
+                sx += xi; sxx += xi * xi; sy += yi; sxy += xi * yi;
+            }
+            double det = s1 * sxx - sx * sx;
+            if (det < 1e-9) {
+                inf_slope = true;
+                m = 0;
+            } else {
+                m = (s1 * sxy - sx * sy) / det;
+            }
+        }
+    } else {
+        double x1 = p.x[0], x2 = p.x[1];
+        double y1 = -p.y[0], y2 = -p.y[1];
+        if (x1 == x2) { inf_slope = true; m = 0; }
+        else m = (y2 - y1) / (x2 - x1);
+    }
+    double angle = inf_slope ? M_PI / 2 : std::atan(m);
+    if (angle > -M_PI / 2 && angle <= -M_PI / 4 && p.y.front() > p.y.back())
+        angle += M_PI;
+    if (angle > -M_PI / 4 && angle <= M_PI / 4 && p.x.front() > p.x.back())
+        angle += M_PI;
+    if (angle > M_PI / 4 && angle < M_PI / 2 && p.y.front() < p.y.back())
+        angle += M_PI;
+    if (angle < 0) angle += 2 * M_PI;
+    return angle;
+}
+
+inline double dist_fast(double px, double py, const Poly& b) {
+    double d = 0.0;
+    if (px < b.bb_x0) d += b.bb_x0 - px;
+    if (px > b.bb_x1) d += px - b.bb_x1;
+    if (py < b.bb_y0) d += b.bb_y0 - py;
+    if (py > b.bb_y1) d += py - b.bb_y1;
+    return d;
+}
+
+inline double in_dist(double p1x, double p1y, double p2x, double p2y,
+                      double ox, double oy) {
+    return (p1x - p2x) * ox + (-p1y + p2y) * oy;
+}
+
+inline double off_dist(double p1x, double p1y, double p2x, double p2y,
+                       double ox, double oy) {
+    return (p1x - p2x) * oy - (-p1y + p2y) * ox;
+}
+
+// shared loop nest of interline distances / tolerance calc
+std::vector<double> min_perp_dists(const std::vector<Poly>& polys,
+                                   double tick, double max_d) {
+    size_t n = polys.size();
+    std::vector<double> out(n, max_d);
+    for (size_t a = 0; a < n; ++a) {
+        const Poly& pa = polys[a];
+        double angle = reg_line_angle(pa);
+        double ox = std::cos(angle), oy = std::sin(angle);
+        double dist = max_d;
+        double a1x = pa.x.front(), a1y = pa.y.front();
+        double a2x = pa.x.back(), a2y = pa.y.back();
+        for (size_t ai = 0; ai < pa.x.size(); ++ai) {
+            double px = pa.x[ai], py = pa.y[ai];
+            for (size_t b = 0; b < n; ++b) {
+                if (b == a) continue;
+                const Poly& pb = polys[b];
+                if (dist_fast(px, py, pb) > dist) continue;  // running skip
+                double b1x = pb.x.front(), b1y = pb.y.front();
+                double b2x = pb.x.back(), b2y = pb.y.back();
+                double d11 = in_dist(a1x, a1y, b1x, b1y, ox, oy);
+                double d12 = in_dist(a1x, a1y, b2x, b2y, ox, oy);
+                double d21 = in_dist(a2x, a2y, b1x, b1y, ox, oy);
+                double d22 = in_dist(a2x, a2y, b2x, b2y, ox, oy);
+                if ((d11 < 0 && d12 < 0 && d21 < 0 && d22 < 0) ||
+                    (d11 > 0 && d12 > 0 && d21 > 0 && d22 > 0))
+                    continue;
+                for (size_t bi = 0; bi < pb.x.size(); ++bi) {
+                    if (std::fabs(in_dist(px, py, pb.x[bi], pb.y[bi], ox, oy)) <= 2.0 * tick) {
+                        double od = std::fabs(off_dist(px, py, pb.x[bi], pb.y[bi], ox, oy));
+                        dist = std::min(dist, od);
+                    }
+                }
+            }
+        }
+        out[a] = dist;
+    }
+    return out;
+}
+
+std::vector<Poly> unpack(const double* coords, const int32_t* offsets,
+                         int32_t n_polys) {
+    std::vector<Poly> polys(n_polys);
+    for (int32_t i = 0; i < n_polys; ++i) {
+        int32_t start = offsets[i], end = offsets[i + 1];
+        polys[i].x.reserve(end - start);
+        polys[i].y.reserve(end - start);
+        for (int32_t j = start; j < end; ++j) {
+            polys[i].x.push_back(coords[2 * j]);
+            polys[i].y.push_back(coords[2 * j + 1]);
+        }
+        polys[i].calc_bounds();
+    }
+    return polys;
+}
+
+// soft hit count (eval_measure.py:126-175) for all tolerance ticks at once
+void count_rel_hits(const Poly& to_count, const Poly& ref,
+                    const double* tols, int32_t n_tols, double* out) {
+    for (int32_t t = 0; t < n_tols; ++t) out[t] = 0.0;
+    // bbox early stop against intersection extents (possibly negative)
+    double ix0 = std::max(to_count.bb_x0, ref.bb_x0);
+    double iy0 = std::max(to_count.bb_y0, ref.bb_y0);
+    double ix1 = std::min(to_count.bb_x1, ref.bb_x1);
+    double iy1 = std::min(to_count.bb_y1, ref.bb_y1);
+    if (std::min(ix1 - ix0, iy1 - iy0) < -3.0 * tols[n_tols - 1]) return;
+
+    size_t np = to_count.x.size();
+    for (size_t i = 0; i < np; ++i) {
+        double md = std::numeric_limits<double>::infinity();
+        for (size_t j = 0; j < ref.x.size(); ++j) {
+            double d = std::fabs(to_count.x[i] - ref.x[j])
+                     + std::fabs(to_count.y[i] - ref.y[j]);
+            md = std::min(md, d);
+        }
+        for (int32_t t = 0; t < n_tols; ++t) {
+            double tol = tols[t];
+            if (md <= tol) out[t] += 1.0;
+            else if (md <= 3.0 * tol) out[t] += (3.0 * tol - md) / (2.0 * tol);
+        }
+    }
+    for (int32_t t = 0; t < n_tols; ++t) out[t] /= (double)np;
+}
+
+void count_rel_hits_union(const Poly& to_count, const std::vector<Poly>& refs,
+                          const double* tols, int32_t n_tols, double* out) {
+    for (int32_t t = 0; t < n_tols; ++t) out[t] = 0.0;
+    size_t np = to_count.x.size();
+    std::vector<double> min_dist(np, std::numeric_limits<double>::infinity());
+    bool any = false;
+    for (const Poly& ref : refs) {
+        double ix0 = std::max(to_count.bb_x0, ref.bb_x0);
+        double iy0 = std::max(to_count.bb_y0, ref.bb_y0);
+        double ix1 = std::min(to_count.bb_x1, ref.bb_x1);
+        double iy1 = std::min(to_count.bb_y1, ref.bb_y1);
+        if (std::min(ix1 - ix0, iy1 - iy0) < -3.0 * tols[n_tols - 1]) continue;
+        any = true;
+        for (size_t i = 0; i < np; ++i) {
+            for (size_t j = 0; j < ref.x.size(); ++j) {
+                double d = std::fabs(to_count.x[i] - ref.x[j])
+                         + std::fabs(to_count.y[i] - ref.y[j]);
+                min_dist[i] = std::min(min_dist[i], d);
+            }
+        }
+    }
+    if (!any) return;
+    for (size_t i = 0; i < np; ++i) {
+        for (int32_t t = 0; t < n_tols; ++t) {
+            double tol = tols[t];
+            if (min_dist[i] <= tol) out[t] += 1.0;
+            else if (min_dist[i] <= 3.0 * tol) out[t] += (3.0 * tol - min_dist[i]) / (2.0 * tol);
+        }
+    }
+    for (int32_t t = 0; t < n_tols; ++t) out[t] /= (double)np;
+}
+
+std::vector<double> calc_tols_inner(const std::vector<Poly>& normed,
+                                    double tick, double max_d, double rel_tol) {
+    std::vector<double> d = min_perp_dists(normed, tick, max_d);
+    std::vector<double> tols(d.size());
+    double sum = 0; int cnt = 0;
+    for (size_t i = 0; i < d.size(); ++i) {
+        tols[i] = d[i] < max_d ? d[i] : 0.0;
+        if (tols[i] != 0) { sum += tols[i]; ++cnt; }
+    }
+    double mean = cnt ? sum / cnt : max_d;
+    for (size_t i = 0; i < tols.size(); ++i) {
+        if (tols[i] == 0) tols[i] = mean;
+        tols[i] = std::min(tols[i], mean) * rel_tol;
+    }
+    return tols;
+}
+
+}  // namespace
+
+extern "C" {
+
+// coords: [total_points * 2] doubles (x, y interleaved, RAW polygons);
+// offsets: [n_polys + 1] point offsets; out: [n_polys]
+void gk_interline_distances(const double* coords, const int32_t* offsets,
+                            int32_t n_polys, int32_t des_dist, double max_d,
+                            double* out) {
+    std::vector<Poly> raw = unpack(coords, offsets, n_polys);
+    std::vector<Poly> normed(n_polys);
+    for (int32_t i = 0; i < n_polys; ++i) normed[i] = norm_poly(raw[i], des_dist);
+    std::vector<double> d = min_perp_dists(normed, des_dist, max_d);
+    std::memcpy(out, d.data(), n_polys * sizeof(double));
+}
+
+// same, but polygons are already normed (matches the numpy-path contract)
+void gk_interline_distances_normed(const double* coords, const int32_t* offsets,
+                                   int32_t n_polys, int32_t des_dist,
+                                   double max_d, double* out) {
+    std::vector<Poly> normed = unpack(coords, offsets, n_polys);
+    std::vector<double> d = min_perp_dists(normed, des_dist, max_d);
+    std::memcpy(out, d.data(), n_polys * sizeof(double));
+}
+
+void gk_calc_tols(const double* coords, const int32_t* offsets,
+                  int32_t n_polys, int32_t tick_dist, double max_d,
+                  double rel_tol, double* out) {
+    std::vector<Poly> normed = unpack(coords, offsets, n_polys);
+    std::vector<double> tols = calc_tols_inner(normed, tick_dist, max_d, rel_tol);
+    std::memcpy(out, tols.data(), n_polys * sizeof(double));
+}
+
+// AS measure page metric (java Util.calcMetricForPageBaseLinePolys analog):
+// truth/reco given RAW; tols: n_tols tick values, tols[0] < 0 -> dynamic.
+// out_precision: [n_tols * n_reco], out_recall: [n_tols * n_truth]
+void gk_calc_metric(const double* t_coords, const int32_t* t_offsets, int32_t n_truth,
+                    const double* r_coords, const int32_t* r_offsets, int32_t n_reco,
+                    const double* tols_in, int32_t n_tols,
+                    int32_t tick_dist, double rel_tol,
+                    double* out_precision, double* out_recall) {
+    std::vector<Poly> truth_raw = unpack(t_coords, t_offsets, n_truth);
+    std::vector<Poly> reco_raw = unpack(r_coords, r_offsets, n_reco);
+    std::vector<Poly> truth(n_truth), reco(n_reco);
+    for (int32_t i = 0; i < n_truth; ++i) truth[i] = norm_poly(truth_raw[i], tick_dist);
+    for (int32_t i = 0; i < n_reco; ++i) reco[i] = norm_poly(reco_raw[i], tick_dist);
+
+    // per-truth-line tolerance vectors [n_truth][n_tols]
+    std::vector<std::vector<double>> line_tols(n_truth, std::vector<double>(n_tols));
+    if (n_tols > 0 && tols_in[0] < 0) {
+        std::vector<double> dyn = calc_tols_inner(truth, tick_dist, 250.0, rel_tol);
+        for (int32_t i = 0; i < n_truth; ++i)
+            for (int32_t t = 0; t < n_tols; ++t) line_tols[i][t] = dyn[i];
+    } else {
+        for (int32_t i = 0; i < n_truth; ++i)
+            for (int32_t t = 0; t < n_tols; ++t) line_tols[i][t] = tols_in[t];
+    }
+
+    // precision: greedy alignment over per-pair hit counts
+    std::vector<double> hits((size_t)n_tols * n_reco * n_truth, 0.0);
+    std::vector<double> tmp(n_tols);
+    for (int32_t i = 0; i < n_reco; ++i) {
+        for (int32_t j = 0; j < n_truth; ++j) {
+            count_rel_hits(reco[i], truth[j], line_tols[j].data(), n_tols, tmp.data());
+            for (int32_t t = 0; t < n_tols; ++t)
+                hits[(size_t)t * n_reco * n_truth + (size_t)i * n_truth + j] = tmp[t];
+        }
+    }
+    for (int32_t t = 0; t < n_tols; ++t) {
+        double* h = &hits[(size_t)t * n_reco * n_truth];
+        for (int32_t i = 0; i < n_reco; ++i) out_precision[(size_t)t * n_reco + i] = 0.0;
+        while (true) {
+            double best = -1.0;
+            int32_t bi = 0, bj = 0;
+            for (int32_t i = 0; i < n_reco; ++i)
+                for (int32_t j = 0; j < n_truth; ++j) {
+                    double v = h[(size_t)i * n_truth + j];
+                    if (v > best) { best = v; bi = i; bj = j; }
+                }
+            if (best < 0) break;
+            out_precision[(size_t)t * n_reco + bi] = best;
+            for (int32_t j = 0; j < n_truth; ++j) h[(size_t)bi * n_truth + j] = -1.0;
+            for (int32_t i = 0; i < n_reco; ++i) h[(size_t)i * n_truth + bj] = -1.0;
+        }
+    }
+
+    // recall: union over reco polygons
+    for (int32_t j = 0; j < n_truth; ++j) {
+        count_rel_hits_union(truth[j], reco, line_tols[j].data(), n_tols, tmp.data());
+        for (int32_t t = 0; t < n_tols; ++t)
+            out_recall[(size_t)t * n_truth + j] = tmp[t];
+    }
+}
+
+// normalization utility: returns total output points; out buffers sized by
+// caller via gk_norm_poly_sizes
+void gk_norm_poly_dists(const double* coords, const int32_t* offsets,
+                        int32_t n_polys, int32_t des_dist,
+                        double* out_coords, int32_t* out_offsets) {
+    int32_t pos = 0;
+    out_offsets[0] = 0;
+    std::vector<Poly> raw = unpack(coords, offsets, n_polys);
+    for (int32_t i = 0; i < n_polys; ++i) {
+        Poly np = norm_poly(raw[i], des_dist);
+        for (size_t j = 0; j < np.x.size(); ++j) {
+            out_coords[2 * pos] = np.x[j];
+            out_coords[2 * pos + 1] = np.y[j];
+            ++pos;
+        }
+        out_offsets[i + 1] = pos;
+    }
+}
+
+int32_t gk_norm_poly_sizes(const double* coords, const int32_t* offsets,
+                           int32_t n_polys, int32_t des_dist) {
+    int32_t total = 0;
+    std::vector<Poly> raw = unpack(coords, offsets, n_polys);
+    for (int32_t i = 0; i < n_polys; ++i)
+        total += (int32_t)norm_poly(raw[i], des_dist).x.size();
+    return total;
+}
+
+}  // extern "C"
