@@ -3,51 +3,67 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no numbers (BASELINE.md); the driver-set north star
-is >= 50 full pages/s end-to-end on a v5e-8. This benchmark measures the
+is >= 50 full pages/s end-to-end on a v5e-8. This measures the
 dominant-FLOPs piece — ARU-Net forward at the separator stage's working
-resolution (fixed_height 1500, typical page 1500x1024) — in pages/s on ONE
-chip; vs_baseline reports value / (50/8) i.e. against the per-chip north-star
-share.
+resolution (fixed_height 1500 -> 1536x1024 padded) — in pages/s on ONE
+chip; vs_baseline = value / (50/8), the per-chip north-star share.
+
+Methodology: inputs vary per iteration; the loop queues ITERS dispatches
+and then fetches a scalar from the LAST output (under the axon tunnel,
+block_until_ready returns immediately, so a device->host read is the only
+reliable completion barrier); throughput = ITERS * BATCH / wall time, which
+amortizes the tunnel round-trip over the pipelined executions.
 """
 import json
-import sys
 import os
+import statistics
+import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from citlab_as_tpu.models.arunet import ARUNet
 
 H, W = 1536, 1024  # fixed_height-1500 page padded to a multiple of 16
 BATCH = 4
-WARMUP = 2
+WARMUP = 3
 ITERS = 10
 
 
 def main():
     model = ARUNet(n_classes=2, dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((BATCH, H, W, 1), jnp.float32)
-    variables = model.init(rng, x[:1])
+    rng = np.random.RandomState(0)
+    # host->device over the axon tunnel is slow (~1 MB/s), so place a few
+    # distinct inputs up front (outside the timed region) and cycle them
+    inputs = [jax.device_put(np.asarray(rng.rand(BATCH, H, W, 1), np.float32))
+              for _ in range(3)]
+    variables = model.init(jax.random.PRNGKey(0), inputs[0][:1])
 
     @jax.jit
     def forward(variables, image):
         logits, _ = model.apply(variables, image)
         return jax.nn.softmax(logits, axis=-1)
 
-    for _ in range(WARMUP):
-        jax.block_until_ready(forward(variables, x))
+    def fetch_scalar(out):
+        # device->host read = reliable completion barrier on this backend
+        return float(np.asarray(out[0, 0, 0, 0]))
+
+    for i in range(WARMUP):
+        fetch_scalar(forward(variables, inputs[i % len(inputs)]))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = forward(variables, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    out = None
+    for i in range(ITERS):
+        out = forward(variables, inputs[i % len(inputs)])
+    fetch_scalar(out)
+    total = time.perf_counter() - t0
 
-    pages_per_s = BATCH * ITERS / dt
+    dt = total / ITERS
+    pages_per_s = BATCH / dt
     mpix_per_s = pages_per_s * H * W / 1e6
     north_star_per_chip = 50.0 / 8.0
     print(json.dumps({
@@ -55,7 +71,9 @@ def main():
         "value": round(pages_per_s, 3),
         "unit": "pages/s",
         "vs_baseline": round(pages_per_s / north_star_per_chip, 3),
-        "extra": {"MPix/s": round(mpix_per_s, 1), "device": str(jax.devices()[0])},
+        "extra": {"MPix/s": round(mpix_per_s, 1),
+                  "median_batch_ms": round(dt * 1e3, 2),
+                  "device": str(jax.devices()[0])},
     }))
 
 
