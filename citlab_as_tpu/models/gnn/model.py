@@ -239,15 +239,62 @@ class GraphRelation(nn.Module):
     inputs: num_nodes [B], node_features [B, N, Dn], interacting_nodes
     [B, E, 2], num_interacting_nodes [B], edge_features [B, E, De],
     relations_to_consider [B, R, 2]. Returns logits [B, R, num_classes].
+
+    With ``image_input`` (the 'v' nets): also pass image [B, H, W, C],
+    image_shape [B, 2+] and visual_regions_nodes/num_points_visual_regions_
+    nodes (and optionally the edge variants); per-region pooled backbone
+    features are appended to the node/edge features
+    (graph_relation.py:84-172).
     """
     num_classes: int = 2
     classifier_hidden: Sequence[int] = (64, 32)
     gnn_params: Optional[Dict[str, Any]] = None
     message_params: Optional[Dict[str, Any]] = None
     update_params: Optional[Dict[str, Any]] = None
+    image_input: bool = False
+    visual_backbone: str = "inception_v3"
+    visual_from_layers: Optional[Sequence[str]] = None
+    visual_compressed_dims: Sequence[int] = (16, 16, 16)
+    assign_visual_features_to_nodes: bool = True
+    assign_visual_features_to_edges: bool = False
+
+    def _visual_layers(self) -> Sequence[str]:
+        if self.visual_from_layers is not None:
+            return self.visual_from_layers
+        if self.visual_backbone == "inception_v3":
+            return ("Mixed_5d", "Mixed_6e", "Mixed_7c")
+        # ARU endpoints: multi-resolution down-path features
+        return ("scale_0_unet_down_2_conv", "scale_0_unet_down_3_conv",
+                "scale_0_unet_down_4_conv")
 
     @nn.compact
     def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool = False):
+        if self.image_input and "image" in inputs:
+            from citlab_as_tpu.models.gnn.visual import VisualFeatureExtractor
+            extractor = VisualFeatureExtractor(
+                backbone=self.visual_backbone,
+                from_layers=tuple(self._visual_layers()),
+                layer_compressed_dims=tuple(self.visual_compressed_dims),
+                name="visual")
+            node_vis, edge_vis = extractor(
+                inputs["image"], inputs["image_shape"],
+                visual_regions_nodes=(
+                    inputs.get("visual_regions_nodes")
+                    if self.assign_visual_features_to_nodes else None),
+                num_points_nodes=inputs.get("num_points_visual_regions_nodes"),
+                visual_regions_edges=(
+                    inputs.get("visual_regions_edges")
+                    if self.assign_visual_features_to_edges else None),
+                num_points_edges=inputs.get("num_points_visual_regions_edges"),
+                train=train)
+            inputs = dict(inputs)
+            if node_vis is not None:
+                inputs["node_features"] = jnp.concatenate(
+                    [inputs["node_features"], node_vis], axis=-1)
+            if edge_vis is not None:
+                inputs["edge_features"] = jnp.concatenate(
+                    [inputs["edge_features"], edge_vis], axis=-1)
+
         gnn_out = GraphGNN(self.gnn_params, self.message_params,
                            self.update_params, name="GraphLSTM1")(inputs, train)
         if gnn_out is None:

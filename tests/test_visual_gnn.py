@@ -1,0 +1,108 @@
+"""Inception v3 backbone + GNN visual branch tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from citlab_as_tpu.models.gnn.graph import (
+    batch_graphs, build_full_relations, correct_edges, fully_connected_edges,
+    pad_graph,
+)
+from citlab_as_tpu.models.gnn.model import GraphRelation
+from citlab_as_tpu.models.gnn.visual import (
+    VisualFeatureExtractor, _bbox_from_regions, normalize_visual_regions,
+    region_max_pool,
+)
+from citlab_as_tpu.models.inception_v3 import InceptionV3
+
+
+def test_inception_v3_endpoints():
+    model = InceptionV3()
+    x = jnp.zeros((1, 299, 299, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, eps = model.apply(variables, x)
+    assert eps["Mixed_5d"].shape == (1, 35, 35, 288)
+    assert eps["Mixed_6e"].shape == (1, 17, 17, 768)
+    assert eps["Mixed_7c"].shape == (1, 8, 8, 2048)
+    assert out is eps["Mixed_7c"]
+
+
+def test_region_max_pool_exact():
+    fm = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    # region covering relative x [0, 0.5), y [0, 0.5) -> cells (0..1, 0..1)
+    xmin = jnp.array([[0.0]])
+    xmax = jnp.array([[0.49]])
+    ymin = jnp.array([[0.0]])
+    ymax = jnp.array([[0.49]])
+    out = region_max_pool(fm, xmin, xmax, ymin, ymax)
+    assert float(out[0, 0, 0]) == 5.0  # max of cells {0,1,4,5}
+    # full region -> global max
+    out2 = region_max_pool(fm, jnp.array([[0.0]]), jnp.array([[0.99]]),
+                           jnp.array([[0.0]]), jnp.array([[0.99]]))
+    assert float(out2[0, 0, 0]) == 15.0
+
+
+def test_bbox_from_regions_masks_padding():
+    regions = np.zeros((1, 1, 2, 4), np.float32)
+    regions[0, 0, 0] = [10, 20, 999, 999]  # x, last two are padding
+    regions[0, 0, 1] = [5, 15, 999, 999]
+    num_points = np.array([[2]])
+    xmin, xmax, ymin, ymax = _bbox_from_regions(
+        jnp.asarray(regions), jnp.asarray(num_points))
+    assert float(xmin[0, 0]) == 10 and float(xmax[0, 0]) == 20
+    assert float(ymin[0, 0]) == 5 and float(ymax[0, 0]) == 15
+
+
+def test_normalize_visual_regions():
+    regions = np.zeros((1, 1, 2, 1), np.float32)
+    regions[0, 0, 0, 0] = 50   # x = 50 px
+    regions[0, 0, 1, 0] = 25   # y = 25 px
+    shape = np.array([[100, 200]])
+    out = normalize_visual_regions(jnp.asarray(regions), jnp.asarray(shape),
+                                   pad_image_height=100, pad_image_width=200)
+    assert float(out[0, 0, 0, 0]) == pytest.approx(0.25)  # 50/200
+    assert float(out[0, 0, 1, 0]) == pytest.approx(0.25)  # 25/100
+
+
+def test_visual_feature_extractor_aru():
+    extractor = VisualFeatureExtractor(
+        backbone="ARU_v1", from_layers=("scale_0_unet_down_2_conv",
+                                        "scale_0_unet_down_3_conv"),
+        layer_compressed_dims=(8, 8))
+    image = jnp.zeros((1, 64, 64, 1))
+    image_shape = jnp.asarray([[64, 64]])
+    regions = jnp.asarray(np.random.RandomState(0).rand(1, 3, 2, 4) * 64,
+                          jnp.float32)
+    num_points = jnp.full((1, 3), 4, jnp.int32)
+    variables = extractor.init(jax.random.PRNGKey(0), image, image_shape,
+                               regions, num_points)
+    node_feats, edge_feats = extractor.apply(
+        variables, image, image_shape, regions, num_points)
+    assert node_feats.shape == (1, 3, 16)
+    assert edge_feats is None
+
+
+def test_graph_relation_with_visual_branch():
+    rng = np.random.RandomState(0)
+    n = 3
+    node_feats = rng.rand(n, 7).astype(np.float32)
+    edges, efeats = correct_edges(
+        fully_connected_edges(n), rng.rand(6, 2).astype(np.float32), n)
+    rels, _, gts = build_full_relations(n, None)
+    g = pad_graph(n, node_feats, edges, efeats, rels, gts, n, len(edges), n * n)
+    batch = {k: jnp.asarray(v) for k, v in batch_graphs([g]).items()}
+    batch["image"] = jnp.zeros((1, 64, 64, 1))
+    batch["image_shape"] = jnp.asarray([[64, 64]])
+    batch["visual_regions_nodes"] = jnp.asarray(
+        rng.rand(1, n, 2, 4) * 64, jnp.float32)
+    batch["num_points_visual_regions_nodes"] = jnp.full((1, n), 4, jnp.int32)
+
+    model = GraphRelation(
+        num_classes=2, image_input=True, visual_backbone="ARU_v1")
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    logits = model.apply(variables, batch)
+    assert logits.shape == (1, n * n, 2)
+    # visual params exist
+    names = ["/".join(str(p) for p in path) for path, _ in
+             jax.tree_util.tree_leaves_with_path(variables["params"])]
+    assert any("visual" in nm for nm in names)
