@@ -26,12 +26,15 @@ def init_params(model: ARUNet, rng, input_shape=(1, 256, 256, 1)):
 
 
 def segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray,
-                      mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Mean per-pixel softmax CE; optional validity mask for padded pixels."""
+                      mask: Optional[jnp.ndarray] = None,
+                      class_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean per-pixel softmax CE; optional validity mask for padded pixels
+    and per-class weights (rare-class boosting, e.g. thin separators)."""
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-    if mask is not None:
-        return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-    return jnp.mean(ce)
+    weights = jnp.ones_like(ce) if mask is None else mask
+    if class_weights is not None:
+        weights = weights * jnp.asarray(class_weights)[labels]
+    return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
 def make_train_step(model: ARUNet, optimizer: optax.GradientTransformation):

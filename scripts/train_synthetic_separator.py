@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--crop", type=int, default=512)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--target_class_weight", type=float, default=8.0,
+                        help="CE weight of the rare target class (0).")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -46,6 +48,8 @@ def main():
     opt_state = optimizer.init(params)
     heading_mode = args.mode == "heading"
 
+    class_weights = jnp.asarray([args.target_class_weight, 1.0])
+
     @jax.jit
     def step(params, opt_state, key):
         image, label = synthetic_batch(key, args.batch, args.crop, args.crop,
@@ -53,7 +57,7 @@ def main():
 
         def loss_fn(p):
             logits, _ = model.apply(p, image, train=True)
-            return segmentation_loss(logits, label)
+            return segmentation_loss(logits, label, class_weights=class_weights)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state)
