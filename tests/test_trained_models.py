@@ -1,0 +1,75 @@
+"""Integration tests with the committed synthetic-trained checkpoints.
+
+The checkpoints under models_ckpt/ were produced by
+scripts/train_synthetic_separator.py on a v5e (training data synthesized
+on-device); these tests load them on CPU and run the real stages.
+"""
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SEP_CKPT = os.path.join(REPO, "models_ckpt", "separator")
+HEAD_CKPT = os.path.join(REPO, "models_ckpt", "heading")
+
+
+def _ckpt_exists(path):
+    return os.path.isdir(path) and any(d.isdigit() for d in os.listdir(path))
+
+
+@pytest.mark.skipif(not _ckpt_exists(SEP_CKPT), reason="no separator checkpoint")
+def test_separator_stage_with_trained_model(tmp_path):
+    import jax
+    from PIL import Image
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.pagexml import Page
+    from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
+    from citlab_as_tpu.train.synthetic_data import synthetic_batch
+
+    img, lab = synthetic_batch(jax.random.PRNGKey(41), 1, 384, 384)
+    img_np = (np.asarray(img)[0, :, :, 0] * 255).clip(0, 255).astype(np.uint8)
+    Image.fromarray(img_np).save(tmp_path / "p.png")
+
+    pred = SegmentationPredictor(SEP_CKPT, pad_multiple=32)
+    proc = SeparatorNetPostProcessor(
+        [str(tmp_path / "p.png")], pred, fixed_height=None,
+        scaling_factor=1.0, threshold=0.3)
+    proc.run()
+
+    page = Page(str(tmp_path / "page" / "p.xml.xml"))
+    seps = page.get_regions().get("SeparatorRegion", [])
+    assert len(seps) >= 2
+    orientations = {s.get_orientation() for s in seps}
+    assert "vertical" in orientations or "horizontal" in orientations
+
+    # detected separators overlap true separator pixels
+    lab_np = np.asarray(lab)[0]
+    true_sep = lab_np == 0
+    hit = 0
+    for s in seps:
+        pts = s.points.points_list
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        crop = true_sep[max(min(ys) - 2, 0):max(ys) + 3,
+                        max(min(xs) - 2, 0):max(xs) + 3]
+        if crop.any():
+            hit += 1
+    assert hit >= len(seps) - 1  # nearly all detections are real
+
+
+@pytest.mark.skipif(not _ckpt_exists(SEP_CKPT), reason="no separator checkpoint")
+def test_predictor_quality_on_fresh_pages():
+    import jax
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.train.synthetic_data import synthetic_batch
+
+    pred = SegmentationPredictor(SEP_CKPT, pad_multiple=32)
+    img, lab = synthetic_batch(jax.random.PRNGKey(1234), 1, 256, 256)
+    probs = pred(np.asarray(img)[0, :, :, 0])
+    pred_sep = probs[..., 0] > 0.5
+    target = np.asarray(lab)[0] == 0
+    tp = (pred_sep & target).sum()
+    recall = tp / max(target.sum(), 1)
+    precision = tp / max(pred_sep.sum(), 1)
+    assert recall > 0.8 and precision > 0.8
