@@ -58,6 +58,24 @@ def test_separator_stage_with_trained_model(tmp_path):
     assert hit >= len(seps) - 1  # nearly all detections are real
 
 
+@pytest.mark.skipif(not _ckpt_exists(HEAD_CKPT), reason="no heading checkpoint")
+def test_heading_predictor_quality_on_fresh_pages():
+    import jax
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.train.synthetic_data import synthetic_batch
+
+    pred = SegmentationPredictor(HEAD_CKPT, pad_multiple=32)
+    img, lab = synthetic_batch(jax.random.PRNGKey(77), 1, 256, 256,
+                               heading_mode=True)
+    probs = pred(np.asarray(img)[0, :, :, 0])
+    pred_head = probs[..., 0] > 0.5
+    target = np.asarray(lab)[0] == 0
+    tp = (pred_head & target).sum()
+    recall = tp / max(target.sum(), 1)
+    precision = tp / max(pred_head.sum(), 1)
+    assert recall > 0.8 and precision > 0.8
+
+
 @pytest.mark.skipif(not _ckpt_exists(SEP_CKPT), reason="no separator checkpoint")
 def test_predictor_quality_on_fresh_pages():
     import jax
