@@ -87,11 +87,57 @@ def region_max_pool(feature_map: jnp.ndarray, xmin, xmax, ymin, ymax
     return jnp.max(masked_h, axis=2)                     # [B, N, C]
 
 
+class MultiResolutionFeatureMaps(nn.Module):
+    """SSD-style multi-resolution maps from backbone endpoints
+    (feature_map_generators.py:72-197).
+
+    ``from_layers[i]`` names an endpoint; ``layer_depths[i]`` == -1 passes it
+    through unchanged, > 0 projects it with a 1x1 conv. An empty
+    ``from_layers[i]`` builds a NEW map from the previous one: optional 1x1
+    conv to depth//2 (``insert_1x1_conv``) then a stride-2 3x3 conv to
+    ``layer_depths[i]``. All convs relu-activated, as in the reference.
+    """
+    from_layers: Sequence[str] = ("Mixed_5d", "Mixed_6e", "Mixed_7c")
+    layer_depths: Sequence[int] = (-1, -1, -1)
+    insert_1x1_conv: bool = True
+    min_depth: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, endpoints: Dict[str, jnp.ndarray],
+                 train: bool = False) -> List[jnp.ndarray]:
+        maps: List[jnp.ndarray] = []
+        for i, (name, depth) in enumerate(zip(self.from_layers,
+                                              self.layer_depths)):
+            if name:
+                fm = endpoints[name]
+                if depth > 0:
+                    fm = nn.relu(nn.Conv(
+                        max(depth, self.min_depth), (1, 1), dtype=self.dtype,
+                        name=f"proj_{i}_{name}")(fm))
+            else:
+                if not maps:
+                    raise ValueError(
+                        "empty from_layer needs a previous feature map")
+                fm = maps[-1]
+                depth = max(depth, self.min_depth)
+                if self.insert_1x1_conv:
+                    fm = nn.relu(nn.Conv(
+                        max(depth // 2, self.min_depth), (1, 1),
+                        dtype=self.dtype, name=f"reduce_{i}")(fm))
+                fm = nn.relu(nn.Conv(
+                    depth, (3, 3), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype, name=f"down_{i}")(fm))
+            maps.append(fm)
+        return maps
+
+
 class VisualFeatureExtractor(nn.Module):
     """Backbone endpoints -> per-region compressed visual features
     (graph_relation.py:84-172)."""
     backbone: str = "inception_v3"
     from_layers: Sequence[str] = ("Mixed_5d", "Mixed_6e", "Mixed_7c")
+    layer_depths: Sequence[int] = (-1, -1, -1)   # -1 = passthrough endpoint
     layer_compressed_dims: Sequence[int] = (16, 16, 16)
     dtype: Any = jnp.float32
 
@@ -115,11 +161,10 @@ class VisualFeatureExtractor(nn.Module):
         absolute pixel coords [B, N, 2, P]. Returns (node_feats, edge_feats)
         ([B, N, sum(compressed)] or None)."""
         backbone = self._build_backbone()
-        if self.backbone == "inception_v3":
-            _, endpoints = backbone(image, train)
-        else:
-            _, endpoints = backbone(image, train)
-        feature_maps = [endpoints[name] for name in self.from_layers]
+        _, endpoints = backbone(image, train)
+        feature_maps = MultiResolutionFeatureMaps(
+            from_layers=self.from_layers, layer_depths=self.layer_depths,
+            dtype=self.dtype, name="feature_maps")(endpoints, train)
 
         pad_h, pad_w = image.shape[1], image.shape[2]
 

@@ -141,3 +141,61 @@ def resize_image_ratio(image: np.ndarray, min_dimension: int = 600,
         padded[:new_h, :new_w] = out
         out = padded
     return out, (new_h, new_w)
+
+
+class ImageResizer:
+    """Batch image resizer (image_resizer.py:1-236): holds a list of images
+    (paths or arrays), resizes them all by a fixed scaling factor or via
+    :func:`resize_image_ratio`, caching the results.
+
+    The reference's TF ``resize_image_ratio`` path feeds the GNN visual
+    branch; here the same contract is exposed for host-side preprocessing
+    before device transfer.
+    """
+
+    def __init__(self, images=None, scaling_factor: float = 1.0):
+        self._images = []
+        if images:
+            for image in images:
+                self._images.append(self._load(image))
+        self.scaling_factor = float(scaling_factor)
+        self._resized = None
+
+    @staticmethod
+    def _load(image):
+        if isinstance(image, str):
+            from PIL import Image
+            return np.asarray(Image.open(image).convert("L"), np.float32)
+        return np.asarray(image)
+
+    def add_image(self, image):
+        self._images.append(self._load(image))
+        self._resized = None
+
+    @property
+    def images(self):
+        return self._images
+
+    def resize(self):
+        """Scale every image by ``scaling_factor`` (rounded dims)."""
+        if self._resized is None:
+            out = []
+            for image in self._images:
+                h = max(1, int(round(image.shape[0] * self.scaling_factor)))
+                w = max(1, int(round(image.shape[1] * self.scaling_factor)))
+                out.append(np.asarray(resize_image(image, h, w)))
+            self._resized = out
+        return self._resized
+
+    def resize_ratio(self, min_dimension: int = 600,
+                     max_dimension: int = 1024,
+                     pad_to_max_dimension: bool = False):
+        """Apply :func:`resize_image_ratio` to every image; returns
+        (images, true_shapes) ready for batching into the visual branch."""
+        outs, shapes = [], []
+        for image in self._images:
+            out, shape = resize_image_ratio(
+                image, min_dimension, max_dimension, pad_to_max_dimension)
+            outs.append(out)
+            shapes.append(shape)
+        return outs, shapes

@@ -12,6 +12,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SEP_CKPT = os.path.join(REPO, "models_ckpt", "separator")
 HEAD_CKPT = os.path.join(REPO, "models_ckpt", "heading")
+GNN_CKPT = os.path.join(REPO, "models_ckpt", "gnn", "best", "f1")
 
 
 def _ckpt_exists(path):
@@ -91,3 +92,46 @@ def test_predictor_quality_on_fresh_pages():
     recall = tp / max(target.sum(), 1)
     precision = tp / max(pred_sep.sum(), 1)
     assert recall > 0.8 and precision > 0.8
+
+
+@pytest.mark.skipif(not os.path.isdir(GNN_CKPT), reason="no GNN checkpoint")
+def test_gnn_checkpoint_clusters_synthetic_layouts():
+    """Trained relation GNN + TextblockClustering recover the article
+    partition of fresh synthetic multi-column layouts."""
+    import sys
+    sys.path.insert(0, REPO)
+    from scripts.train_synthetic_gnn import synth_page_graph
+    from citlab_as_tpu.inference import RelationPredictor
+    from citlab_as_tpu.stages.clustering import TextblockClustering
+
+    pred = RelationPredictor(GNN_CKPT)
+    rng = np.random.RandomState(4321)
+    agreements = []
+    for _ in range(3):
+        graph = None
+        while graph is None:
+            graph = synth_page_graph(rng)
+        n = graph["num_nodes"]
+        conf = pred(graph)
+        tb = TextblockClustering()
+        tb.set_confs(conf.tolist())
+        tb.calc(method="dbscan")
+        labels = tb.tb_labels
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for _, i, j in graph["gt_relations"]:
+            a, b = find(i), find(j)
+            if a != b:
+                parent[a] = b
+        gt_labels = [find(i) for i in range(n)]
+        agree = sum((gt_labels[i] == gt_labels[j]) == (labels[i] == labels[j])
+                    for i in range(n) for j in range(i + 1, n))
+        agreements.append(agree / (n * (n - 1) / 2))
+    assert np.mean(agreements) > 0.9

@@ -106,3 +106,33 @@ def test_graph_relation_with_visual_branch():
     names = ["/".join(str(p) for p in path) for path, _ in
              jax.tree_util.tree_leaves_with_path(variables["params"])]
     assert any("visual" in nm for nm in names)
+
+
+def test_multi_resolution_feature_maps_conv_branch():
+    """layer_depth>0 projects endpoints; empty from_layer builds stride-2
+    maps (feature_map_generators.py:72-197)."""
+    from citlab_as_tpu.models.gnn.visual import MultiResolutionFeatureMaps
+
+    endpoints = {"a": jnp.ones((1, 16, 16, 8)), "b": jnp.ones((1, 8, 8, 12))}
+    gen = MultiResolutionFeatureMaps(
+        from_layers=("a", "b", "", ""), layer_depths=(-1, 32, 64, 64))
+    variables = gen.init(jax.random.PRNGKey(0), endpoints)
+    maps = gen.apply(variables, endpoints)
+    assert maps[0].shape == (1, 16, 16, 8)      # passthrough
+    assert maps[1].shape == (1, 8, 8, 32)       # 1x1 projection
+    assert maps[2].shape == (1, 4, 4, 64)       # new stride-2 map
+    assert maps[3].shape == (1, 2, 2, 64)       # chained stride-2 map
+    assert all((np.asarray(m) >= 0).all() for m in maps)  # relu
+
+
+def test_image_resizer_batch():
+    from citlab_as_tpu.ops.image_utils import ImageResizer
+
+    imgs = [np.ones((40, 60), np.float32), np.ones((30, 30), np.float32)]
+    r = ImageResizer(imgs, scaling_factor=0.5)
+    out = r.resize()
+    assert out[0].shape == (20, 30) and out[1].shape == (15, 15)
+    ratio, shapes = r.resize_ratio(min_dimension=20, max_dimension=32,
+                                   pad_to_max_dimension=True)
+    assert all(im.shape == (32, 32) for im in ratio)
+    assert shapes[0][0] <= 32 and shapes[0][1] <= 32
