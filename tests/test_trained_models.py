@@ -135,3 +135,38 @@ def test_gnn_checkpoint_clusters_synthetic_layouts():
                     for i in range(n) for j in range(i + 1, n))
         agreements.append(agree / (n * (n - 1) / 2))
     assert np.mean(agreements) > 0.9
+
+
+@pytest.mark.skipif(not os.path.isdir(GNN_CKPT), reason="no GNN checkpoint")
+def test_full_workflow_with_trained_gnn(tmp_path):
+    """Full five-stage workflow with the trained GNN loaded from its model
+    dir (synthetic benign segmentation predictors stand in for the nets,
+    whose synthetic training distribution doesn't cover this fixture)."""
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+    from citlab_as_tpu.pagexml import Page
+    from tests.test_cli import _page_with_lines
+
+    def separator_predictor(image_grey):
+        h, w = image_grey.shape
+        prob = np.zeros((h, w, 2), np.float32)
+        x = w // 2
+        prob[10:h - 10, x - 2:x + 2, 0] = 0.9
+        prob[..., 1] = 1.0 - prob[..., 0]
+        return prob
+
+    def heading_predictor(image_grey):
+        h, w = image_grey.shape
+        prob = np.zeros((h, w, 2), np.float32)
+        prob[..., 1] = 1.0
+        return prob
+
+    img_path = _page_with_lines(tmp_path)
+    result = run_full_workflow(
+        [img_path], gnn_model_dir=GNN_CKPT, clustering_method="dbscan",
+        out_dir=str(tmp_path / "out"),
+        separator_predictor=separator_predictor,
+        heading_predictor=heading_predictor)
+    assert result["clustered"] and os.path.exists(result["clustered"][0])
+    page = Page(result["clustered"][0])
+    ids = {tl.get_article_id() for tl in page.get_textlines()}
+    assert ids and None not in ids
