@@ -39,21 +39,27 @@ class SegmentationPredictor:
     def __init__(self, model_dir: Optional[str] = None, n_classes: int = 2,
                  graph_params: Optional[Dict[str, Any]] = None,
                  dtype=jnp.bfloat16, pad_multiple: int = 64, seed: int = 0):
-        self.model = ARUNet(n_classes=n_classes, graph_params=graph_params,
-                            dtype=dtype)
         self.pad_multiple = pad_multiple
-        init_x = jnp.zeros((1, 64, 64, 1), jnp.float32)
-        variables = self.model.init(jax.random.PRNGKey(seed), init_x)
-        if model_dir is not None:
-            step = latest_checkpoint_step(model_dir)
-            state, loaded = restore_checkpoint(model_dir, {"params": variables})
-            if loaded is None:
-                raise FileNotFoundError(f"No checkpoint found in {model_dir}")
-            variables = state["params"]
-            logger.info("Restored ARU-Net params from %s (step %s)", model_dir, step)
+        if model_dir is not None and model_dir.endswith(".frozen"):
+            from citlab_as_tpu.train.export import load_frozen
+            self.model, variables, _ = load_frozen(model_dir)
+            logger.info("Loaded frozen ARU-Net from %s", model_dir)
         else:
-            logger.warning("SegmentationPredictor using RANDOM params "
-                           "(no model_dir given).")
+            self.model = ARUNet(n_classes=n_classes, graph_params=graph_params,
+                                dtype=dtype)
+            init_x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(seed), init_x)
+            if model_dir is not None:
+                step = latest_checkpoint_step(model_dir)
+                state, loaded = restore_checkpoint(model_dir, {"params": variables})
+                if loaded is None:
+                    raise FileNotFoundError(f"No checkpoint found in {model_dir}")
+                variables = state["params"]
+                logger.info("Restored ARU-Net params from %s (step %s)",
+                            model_dir, step)
+            else:
+                logger.warning("SegmentationPredictor using RANDOM params "
+                               "(no model_dir given).")
         self.variables = variables
 
         @jax.jit
@@ -111,6 +117,11 @@ class RelationPredictor:
 
     def _ensure_params(self, example_inputs):
         if self.variables is not None:
+            return
+        if self.model_dir is not None and self.model_dir.endswith(".frozen"):
+            from citlab_as_tpu.train.export import load_frozen
+            self.model, self.variables, _ = load_frozen(self.model_dir)
+            logger.info("Loaded frozen GNN from %s", self.model_dir)
             return
         variables = self.model.init(jax.random.PRNGKey(self.seed), example_inputs)
         if self.model_dir is not None:
