@@ -29,7 +29,10 @@ import numpy as np
 from citlab_as_tpu.models.arunet import ARUNet
 
 H, W = 1536, 1024  # fixed_height-1500 page padded to a multiple of 16
-BATCH = 4
+# batch 7 in bf16 is the measured sweet spot on v5e: throughput scales to
+# B=7 (62+ pages/s), then XLA switches to a flat ~281 ms conv schedule for
+# every B>=8 (measured B=8..15), so bigger batches LOSE throughput
+BATCH = 7
 WARMUP = 3
 ITERS = 10
 
@@ -39,8 +42,9 @@ def main():
     rng = np.random.RandomState(0)
     # host->device over the axon tunnel is slow (~1 MB/s), so place a few
     # distinct inputs up front (outside the timed region) and cycle them
-    inputs = [jax.device_put(np.asarray(rng.rand(BATCH, H, W, 1), np.float32))
-              for _ in range(3)]
+    inputs = [jax.device_put(jnp.asarray(
+                  np.asarray(rng.rand(BATCH, H, W, 1), np.float32)
+              ).astype(jnp.bfloat16)) for _ in range(3)]
     variables = model.init(jax.random.PRNGKey(0), inputs[0][:1])
 
     @jax.jit
