@@ -1,0 +1,77 @@
+"""Host-process fan-out for GIL-bound pipeline stages.
+
+Reference: run_net_post_processing.py:61-82 (ProcessPoolExecutor over <=50-
+image sublists), run_baseline_clustering.py:10-43 / run_textregion_
+generation.py:10-35 (subprocess-per-XML with stdout scraping), and
+run_gnn_clustering.py:327-337 / run_feature_generation.py:40-57
+(mp.Process shards). TPU-native split: device work is batched in-process
+(XLA, one program), but the pure-Python geometry/IO stages ARE GIL-bound,
+so a process pool over item shards is the right host-side parallelism.
+Unlike the reference there is no stdout scraping — results and skipped
+items come back as values.
+"""
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ProcessPoolExecutor
+from typing import Callable, List, Optional, Sequence, Tuple
+
+from citlab_as_tpu.utils.misc import split_list
+
+logger = logging.getLogger(__name__)
+
+_WORKER_FN: Optional[Callable] = None
+
+
+def _init_worker(fn_builder):
+    """Each worker builds its callable once (e.g. loads params) and forces
+    the CPU backend so forked workers never fight over the TPU tunnel."""
+    global _WORKER_FN
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    _WORKER_FN = fn_builder()
+
+
+def _run_shard(items: Sequence) -> Tuple[List, List]:
+    done, skipped = [], []
+    for item in items:
+        try:
+            done.append((item, _WORKER_FN(item)))
+        except Exception as e:
+            logger.error("worker skipping %r: %s", item, e)
+            skipped.append(item)
+    return done, skipped
+
+
+def run_sharded(fn_builder: Callable[[], Callable], items: Sequence,
+                num_workers: int = 0, max_shard: int = 50):
+    """Apply ``fn_builder()(item)`` to every item.
+
+    ``num_workers`` <= 1 runs in-process (fn errors skip the item, like the
+    reference's skipped_files contract). Otherwise shards of at most
+    ``max_shard`` items are distributed over a ProcessPoolExecutor.
+    Returns (results, skipped): results is a list of (item, value) in
+    completion order.
+    """
+    if num_workers <= 1:
+        _init_worker(fn_builder)
+        return _run_shard(items)
+
+    shards = split_list(list(items), max(
+        num_workers, (len(items) + max_shard - 1) // max_shard))
+    shards = [s for s in shards if s]
+    results, skipped = [], []
+    # spawn, not fork: the parent usually has JAX (multithreaded) loaded,
+    # and forked children deadlock/crash in its runtime threads
+    import multiprocessing
+    with ProcessPoolExecutor(
+            max_workers=num_workers, initializer=_init_worker,
+            initargs=(fn_builder,),
+            mp_context=multiprocessing.get_context("spawn")) as pool:
+        for done, skip in pool.map(_run_shard, shards):
+            results.extend(done)
+            skipped.extend(skip)
+    return results, skipped
