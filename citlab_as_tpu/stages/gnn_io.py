@@ -86,6 +86,13 @@ def save_clustering_to_page(clustering: Sequence[int], page_path: str,
 
     save_name = re.sub(r"\.xml$", "_clustering.xml", os.path.basename(page_path))
     page_dir = re.sub(r"page$", "clustering", os.path.dirname(os.path.relpath(page_path)))
+    if page_dir.startswith(".."):
+        # page tree lives outside the CWD: a CWD-relative path would climb
+        # out of save_dir ("save/../../..."), so anchor at the page tree
+        # itself (sibling clustering/ dir, the reference's usual layout)
+        page_dir = re.sub(r"page$", "clustering",
+                          os.path.dirname(os.path.abspath(page_path)))
+        save_dir = ""
     out_dir = os.path.join(save_dir, page_dir, info) if info else os.path.join(save_dir, page_dir)
     os.makedirs(out_dir, exist_ok=True)
     save_path = os.path.join(out_dir, save_name)

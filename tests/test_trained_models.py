@@ -170,3 +170,59 @@ def test_full_workflow_with_trained_gnn(tmp_path):
     page = Page(result["clustered"][0])
     ids = {tl.get_article_id() for tl in page.get_textlines()}
     assert ids and None not in ids
+
+
+@pytest.mark.skipif(not os.path.isdir(GNN_CKPT), reason="no GNN checkpoint")
+def test_e2e_article_f1_against_ground_truth(tmp_path):
+    """Workflow output vs GT through the AS measure: the trained GNN must
+    recover the column-article partition of a full-size demo page
+    (closes SURVEY §4's 'end-to-end article-F1 on a small corpus')."""
+    import shutil
+    import sys
+    sys.path.insert(0, REPO)
+    from scripts.bench_e2e import make_demo_page
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+    from citlab_as_tpu.cli.run_measure import main as measure_main
+    from citlab_as_tpu.pagexml import Page
+
+    work = str(tmp_path)
+    rng = np.random.RandomState(7)
+    img, _ = make_demo_page(work, "d0", rng)
+    page_path = os.path.join(work, "page", "d0.xml")
+
+    # GT: one article per column
+    gt_dir = os.path.join(work, "gt", "page")
+    os.makedirs(gt_dir)
+    gt_path = os.path.join(gt_dir, "d0.xml")
+    shutil.copy(page_path, gt_path)
+    page = Page(gt_path)
+    tls = page.get_textlines()
+    xs = sorted({tl.baseline.points_list[0][0] for tl in tls})
+    for tl in tls:
+        tl.set_article_id(f"a{xs.index(tl.baseline.points_list[0][0]) + 1}")
+    page.set_textline_attr(tls)
+    page.write_page_xml(gt_path)
+
+    def benign(image_grey):
+        h, w = image_grey.shape
+        prob = np.zeros((h, w, 2), np.float32)
+        prob[..., 1] = 1.0
+        return prob
+
+    result = run_full_workflow(
+        [img], gnn_model_dir=GNN_CKPT, clustering_method="dbscan",
+        out_dir=os.path.join(work, "out"),
+        separator_predictor=benign, heading_predictor=benign)
+    hyp_path = result["clustered"][0]
+    assert os.path.exists(hyp_path)
+    assert ".." not in os.path.relpath(hyp_path, work)  # stays in the tree
+
+    gt_lst = os.path.join(work, "gt.lst")
+    hy_lst = os.path.join(work, "hy.lst")
+    open(gt_lst, "w").write(gt_path + "\n")
+    open(hy_lst, "w").write(hyp_path + "\n")
+    out = measure_main(["--path_to_gt_xml_lst", gt_lst,
+                        "--path_to_hy_xml_lst", hy_lst,
+                        "--min_tol", "10", "--max_tol", "30"])
+    as_r, as_p, as_f = out["as"]
+    assert as_f > 0.9, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
