@@ -226,3 +226,52 @@ def test_e2e_article_f1_against_ground_truth(tmp_path):
                         "--min_tol", "10", "--max_tol", "30"])
     as_r, as_p, as_f = out["as"]
     assert as_f > 0.9, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
+
+
+@pytest.mark.skipif(
+    not (_ckpt_exists(SEP_CKPT) and _ckpt_exists(HEAD_CKPT)
+         and os.path.isdir(GNN_CKPT)),
+    reason="needs all three checkpoints")
+def test_e2e_all_trained_models_article_f1(tmp_path):
+    """The COMPLETE pipeline with the three trained models (no injected
+    predictors): separator ARU-Net -> heading net -> baseline clustering ->
+    text regions -> GNN clustering, measured against GT with the AS
+    measure. The separator net generalizes from its synthetic training
+    pages to the demo-page distribution (bright bg / dark rules)."""
+    import shutil
+    import sys
+    sys.path.insert(0, REPO)
+    from scripts.bench_e2e import make_demo_page
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+    from citlab_as_tpu.cli.run_measure import main as measure_main
+    from citlab_as_tpu.pagexml import Page
+
+    work = str(tmp_path)
+    rng = np.random.RandomState(11)
+    img, _ = make_demo_page(work, "d0", rng)
+    page_path = os.path.join(work, "page", "d0.xml")
+    gt_dir = os.path.join(work, "gt", "page")
+    os.makedirs(gt_dir)
+    gt_path = os.path.join(gt_dir, "d0.xml")
+    shutil.copy(page_path, gt_path)
+    page = Page(gt_path)
+    tls = page.get_textlines()
+    xs = sorted({tl.baseline.points_list[0][0] for tl in tls})
+    for tl in tls:
+        tl.set_article_id(f"a{xs.index(tl.baseline.points_list[0][0]) + 1}")
+    page.set_textline_attr(tls)
+    page.write_page_xml(gt_path)
+
+    result = run_full_workflow(
+        [img], separator_model_dir=SEP_CKPT, heading_model_dir=HEAD_CKPT,
+        gnn_model_dir=GNN_CKPT, clustering_method="dbscan",
+        out_dir=os.path.join(work, "out"))
+    gt_lst = os.path.join(work, "gt.lst")
+    hy_lst = os.path.join(work, "hy.lst")
+    open(gt_lst, "w").write(gt_path + "\n")
+    open(hy_lst, "w").write(result["clustered"][0] + "\n")
+    out = measure_main(["--path_to_gt_xml_lst", gt_lst,
+                        "--path_to_hy_xml_lst", hy_lst,
+                        "--min_tol", "10", "--max_tol", "30"])
+    as_r, as_p, as_f = out["as"]
+    assert as_f > 0.9, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
