@@ -103,6 +103,53 @@ class SegmentationPredictor:
                 for i, im in enumerate(images)]
 
 
+class ShardedSegmentationPredictor(SegmentationPredictor):
+    """Multi-chip data-parallel ARU-Net inference over a device mesh.
+
+    The reference shards image lists over host processes
+    (run_net_post_processing.py:61-82); here a page batch is sharded over
+    the mesh's ``data`` axis with replicated params, and GSPMD derives the
+    per-chip program ("computation follows data" — no collectives needed in
+    a pure forward). Batches are padded up to a multiple of the data-axis
+    size; per-chip sub-batch stays <= MAX_DEVICE_BATCH via chunking in
+    :meth:`predict_batch`.
+    """
+
+    def __init__(self, model_dir: Optional[str] = None, mesh=None, **kwargs):
+        from citlab_as_tpu.parallel.mesh import make_mesh, replicate
+        super().__init__(model_dir, **kwargs)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_data = self.mesh.shape["data"]
+        self.variables = replicate(self.mesh, self.variables)
+        # chunk threshold scales with the data axis: each chip should see
+        # at most MAX_DEVICE_BATCH pages
+        self.MAX_DEVICE_BATCH = SegmentationPredictor.MAX_DEVICE_BATCH * self.n_data
+
+    def __call__(self, image_grey: np.ndarray) -> np.ndarray:
+        return self.predict_batch([image_grey])[0]
+
+    def predict_batch(self, images: Sequence[np.ndarray]) -> list:
+        from citlab_as_tpu.parallel.mesh import shard_batch
+        if not images:
+            return []
+        if len(images) > self.MAX_DEVICE_BATCH:
+            out = []
+            for start in range(0, len(images), self.MAX_DEVICE_BATCH):
+                out.extend(self.predict_batch(
+                    images[start:start + self.MAX_DEVICE_BATCH]))
+            return out
+        ph = _round_up(max(im.shape[0] for im in images), self.pad_multiple)
+        pw = _round_up(max(im.shape[1] for im in images), self.pad_multiple)
+        b = _round_up(len(images), self.n_data)   # divisible batch
+        x = np.zeros((b, ph, pw, 1), np.float32)
+        for i, im in enumerate(images):
+            x[i, :im.shape[0], :im.shape[1], 0] = im
+        probs = np.asarray(self._forward(
+            self.variables, shard_batch(self.mesh, jnp.asarray(x))))
+        return [probs[i, :im.shape[0], :im.shape[1], :]
+                for i, im in enumerate(images)]
+
+
 class RelationPredictor:
     """GraphRelation forward over one page's graph JSON dict -> [N, N]
     confidence matrix (the run_gnn_clustering device step)."""

@@ -51,3 +51,26 @@ def test_graft_entry_single():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_segmentation_predictor_matches_single_device():
+    """8-way data-parallel forward == single-device forward (to bf16 noise)."""
+    import numpy as np
+    from citlab_as_tpu.inference import (
+        SegmentationPredictor, ShardedSegmentationPredictor)
+
+    rng = np.random.RandomState(0)
+    images = [rng.rand(40 + 2 * i, 50).astype(np.float32) for i in range(10)]
+    single = SegmentationPredictor(model_dir=None, pad_multiple=32, seed=7)
+    sharded = ShardedSegmentationPredictor(model_dir=None, pad_multiple=32,
+                                           seed=7)
+    assert sharded.n_data == len(jax.devices())
+    outs_single = single.predict_batch(images)
+    outs_sharded = sharded.predict_batch(images)
+    # bf16 compute: XLA picks different fusions per batch size, so per-pixel
+    # probabilities differ by up to ~bf16 eps (0.0078); not a sharding bug
+    for a, b in zip(outs_single, outs_sharded):
+        np.testing.assert_allclose(a, b, atol=0.02)
+
+    one = sharded(images[0])
+    np.testing.assert_allclose(one, outs_single[0], atol=0.02)
