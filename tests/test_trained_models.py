@@ -275,3 +275,58 @@ def test_e2e_all_trained_models_article_f1(tmp_path):
                         "--min_tol", "10", "--max_tol", "30"])
     as_r, as_p, as_f = out["as"]
     assert as_f > 0.9, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
+
+
+@pytest.mark.skipif(not _ckpt_exists(HEAD_CKPT), reason="no heading checkpoint")
+def test_heading_stage_tags_demo_headings(tmp_path):
+    """Trained heading net + SWT fusion tag exactly the heading lines of a
+    demo page (tall thick strokes), no false positives on body lines."""
+    from PIL import Image
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.pagexml import Page
+    from citlab_as_tpu.stages.heading import HeadingNetPostProcessor
+
+    h, w = 1500, 1000
+    img = np.full((h, w), 255, np.uint8)
+    img[40:h - 40, 498:502] = 40
+    for x0 in (30, 530):
+        for x in range(x0, x0 + 380, 34):
+            img[60:110, x:x + 16] = 0          # heading strokes
+        for y in (170, 235, 300):
+            for x in range(x0, x0 + 420, 22):
+                img[y - 26:y - 2, x:x + 6] = 0  # body strokes
+    Image.fromarray(img).save(tmp_path / "p.png")
+
+    lines = []
+    for i, (x0, x1) in enumerate(((30, 430), (530, 930))):
+        lines.append(
+            f'<TextLine id="tl_h{i}"><Coords points="{x0},55 {x1},55 '
+            f'{x1},115 {x0},115"/><Baseline points="{x0},110 {x1},110"/>'
+            f'<TextEquiv><Unicode>HEADING {i}</Unicode></TextEquiv></TextLine>')
+        for y in (170, 235, 300):
+            lines.append(
+                f'<TextLine id="tl_{i}_{y}"><Coords points="{x0},{y - 28} '
+                f'{x1},{y - 28} {x1},{y + 2} {x0},{y + 2}"/>'
+                f'<Baseline points="{x0},{y} {x1},{y}"/>'
+                f'<TextEquiv><Unicode>body</Unicode></TextEquiv></TextLine>')
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/'
+        'pagecontent/2013-07-15">\n'
+        '<Metadata><Creator>t</Creator><Created>x</Created>'
+        '<LastChange>x</LastChange></Metadata>\n'
+        f'<Page imageFilename="p.png" imageWidth="{w}" imageHeight="{h}">\n'
+        '<TextRegion id="tr_1" type="paragraph">'
+        f'<Coords points="10,30 990,30 990,1470 10,1470"/>\n'
+        + "\n".join(lines) + '\n</TextRegion></Page></PcGts>')
+    (tmp_path / "page").mkdir()
+    (tmp_path / "page" / "p.xml").write_text(xml)
+
+    pred = SegmentationPredictor(HEAD_CKPT, pad_multiple=32)
+    HeadingNetPostProcessor([str(tmp_path / "p.png")], pred,
+                            fixed_height=900).run()
+    page = Page(str(tmp_path / "page" / "p.xml.xml"))
+    tags = {tl.id: (tl.custom.get("structure") or {}).get("semantic_type")
+            for tl in page.get_textlines()}
+    assert tags["tl_h0"] == "heading" and tags["tl_h1"] == "heading"
+    assert all(v is None for k, v in tags.items() if not k.startswith("tl_h"))
