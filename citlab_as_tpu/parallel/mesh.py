@@ -54,6 +54,21 @@ def batch_sharding(mesh: Mesh, ndim: int = 4, batch_axis: int = 0) -> NamedShard
     return NamedSharding(mesh, P(*spec))
 
 
+def spatial_sharding(mesh: Mesh, ndim: int = 4, h_axis: int = 1) -> NamedSharding:
+    """NamedSharding splitting the spatial height axis over 'model'.
+
+    For pages too large for one chip's HBM: place the NHWC input with this
+    sharding (params replicated) and jit the forward — GSPMD inserts the
+    conv halo exchanges and pool/upsample collectives automatically, so the
+    whole ARU-Net runs height-sharded with no model changes. Exact in f32
+    (<=1e-4 vs replicated); in bf16 the different reduction order
+    accumulates visible rounding noise through the 5 scales.
+    """
+    spec = [None] * ndim
+    spec[h_axis] = "model"
+    return NamedSharding(mesh, P(*spec))
+
+
 def data_parallel_jit(fn):
     """Plain jit relying on "computation follows data": place params with
     :func:`replicate` and batches with :func:`shard_batch`, and GSPMD derives

@@ -74,3 +74,23 @@ def test_sharded_segmentation_predictor_matches_single_device():
 
     one = sharded(images[0])
     np.testing.assert_allclose(one, outs_single[0], atol=0.02)
+
+
+def test_spatial_sharding_arunet_parity_f32():
+    """Height-sharded ARU-Net forward over the 'model' axis == replicated
+    forward (GSPMD inserts the conv halo exchanges)."""
+    import numpy as np
+    from citlab_as_tpu.models.arunet import ARUNet
+    from citlab_as_tpu.parallel.mesh import (
+        make_mesh, replicate, spatial_sharding)
+
+    mesh = make_mesh(data=1, model=len(jax.devices()))
+    model = ARUNet(n_classes=2, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+    x = np.random.RandomState(0).rand(1, 256, 128, 1).astype(np.float32)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x)[0])
+    ref = np.asarray(fwd(variables, jnp.asarray(x)))
+    xs = jax.device_put(jnp.asarray(x), spatial_sharding(mesh))
+    sharded = np.asarray(fwd(replicate(mesh, variables), xs))
+    np.testing.assert_allclose(sharded, ref, atol=1e-4)
