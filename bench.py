@@ -70,6 +70,7 @@ def main():
     pages_per_s = BATCH / dt
     mpix_per_s = pages_per_s * H * W / 1e6
     north_star_per_chip = 50.0 / 8.0
+    edge_preds_per_s = _bench_gnn()
     print(json.dumps({
         "metric": f"ARU-Net separator forward pages/s ({H}x{W}, batch {BATCH}, 1 chip)",
         "value": round(pages_per_s, 3),
@@ -77,8 +78,41 @@ def main():
         "vs_baseline": round(pages_per_s / north_star_per_chip, 3),
         "extra": {"MPix/s": round(mpix_per_s, 1),
                   "median_batch_ms": round(dt * 1e3, 2),
+                  "gnn_edge_preds_per_s": round(edge_preds_per_s),
                   "device": str(jax.devices()[0])},
     }))
+
+
+def _bench_gnn(batch_graphs_n: int = 8, nodes: int = 128, iters: int = 20):
+    """Secondary metric: relation-GNN edge predictions/s (full N^2 grid)."""
+    from citlab_as_tpu.models.gnn.graph import (
+        batch_graphs, build_full_relations, correct_edges, pad_graph)
+    from citlab_as_tpu.models.gnn.model import GraphRelation
+    from citlab_as_tpu.stages.features import delaunay_edges
+
+    rng = np.random.RandomState(0)
+    graphs = []
+    for _ in range(batch_graphs_n):
+        edges = delaunay_edges(nodes, rng.rand(nodes, 2) * 1000)
+        efeat = rng.rand(len(edges), 2).astype(np.float32)
+        edges, efeat = correct_edges(edges, efeat, nodes)
+        rels, _, gts = build_full_relations(nodes, None)
+        graphs.append(pad_graph(
+            nodes, rng.rand(nodes, 15).astype(np.float32), edges, efeat,
+            rels, gts, nodes, 1024, nodes * nodes))
+    batch = jax.device_put(
+        {k: jnp.asarray(v) for k, v in batch_graphs(graphs).items()})
+    model = GraphRelation(num_classes=2)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    fwd = jax.jit(lambda v, b: jax.nn.softmax(model.apply(v, b), -1)[..., 1])
+    float(np.asarray(fwd(variables, batch)[0, 0]))   # compile + barrier
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fwd(variables, batch)
+    float(np.asarray(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    return batch_graphs_n * nodes * nodes / dt
 
 
 if __name__ == "__main__":
