@@ -131,8 +131,8 @@ def main():
 
     n = len(image_paths)
     report = {
-        "metric": f"e2e workflow pages/s ({args.platform}, {n} pages, "
-                  f"~{total_lines // n} lines/page)",
+        "metric": f"e2e workflow pages/s ({args.platform or 'default backend'}, "
+                  f"{n} pages, ~{total_lines // n} lines/page)",
         "value": round(n / total, 3),
         "unit": "pages/s",
         "stage_s_per_page": {k: round(v / n, 3)

@@ -73,3 +73,19 @@ def test_feature_generation_cli_workers(tmp_path):
     feat_main(["--pagexml_list", str(lst), "--out_path", out_dir,
                "--num_workers", "2"])
     assert len(os.listdir(out_dir)) == 2
+
+
+def test_net_post_processing_cli_batched_sharded(tmp_path):
+    """Separator CLI with --batch_size and --sharded: batched mesh
+    inference through the full stage, output pages written."""
+    from citlab_as_tpu.cli.run_net_post_processing import main
+
+    paths = []
+    for i in range(3):
+        paths.append(_page_with_lines(tmp_path, name=f"b{i}"))
+    lst = tmp_path / "imgs.lst"
+    lst.write_text("\n".join(paths) + "\n")
+    main(["--path_to_image_list", str(lst), "--mode", "separator",
+          "--fixed_height", "128", "--batch_size", "2", "--sharded"])
+    for i in range(3):
+        assert os.path.exists(tmp_path / "page" / f"b{i}.xml.xml")
