@@ -139,6 +139,13 @@ def remove_incorrect_regions_and_lines(page_path_list: Sequence[str],
         for text_region in text_regions:
             text_lines = []
             for text_line in text_region.text_lines:
+                # lines with missing/degenerate coords are unusable by every
+                # downstream stage (remove_incorrect_regions_and_lines.py:25)
+                if text_line.surr_p is None or len(text_line.surr_p.points_list) < 2:
+                    nds = page.get_child_by_id(page.page_doc, text_line.id)
+                    for nd in nds:
+                        page.remove_page_xml_node(nd)
+                    continue
                 nds = page.get_child_by_id(page.page_doc, text_line.id)
                 if len(nds) > 1:
                     if len(nds) >= 3:
