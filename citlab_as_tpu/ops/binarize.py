@@ -79,3 +79,31 @@ def otsu_binarize(image, blur_ksize: int = 5):
     """Blur-then-Otsu pipeline of swt_dist_trafo.py:26-29."""
     blurred = gaussian_blur(jnp.asarray(image), blur_ksize)
     return otsu_threshold(blurred)
+
+
+def otsu_binarize_host(image: np.ndarray, blur_ksize: int = 5):
+    """Pure-numpy twin of :func:`otsu_binarize` for the CPU fast path
+    (same kernels, same edge padding, same Otsu argmax): when the active
+    backend is the CPU anyway, scipy's C correlate beats tracing/dispatching
+    the jitted version and avoids two jax<->numpy copies per page."""
+    from scipy.ndimage import correlate1d
+
+    k = _gaussian_kernel_1d(blur_ksize).astype(np.float32)
+    img = np.asarray(image, np.float32)
+    x = correlate1d(img, k, axis=0, mode="nearest")
+    x = correlate1d(x, k, axis=1, mode="nearest")
+
+    q = np.clip(np.round(x), 0, 255).astype(np.int32)
+    hist = np.bincount(q.ravel(), minlength=256).astype(np.float64)
+    bins = np.arange(256, dtype=np.float64)
+    w0 = np.cumsum(hist)
+    sum0 = np.cumsum(hist * bins)
+    total, sum_all = w0[-1], sum0[-1]
+    w1 = total - w0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = np.where(w0 > 0, sum0 / w0, 0.0)
+        mu1 = np.where(w1 > 0, (sum_all - sum0) / w1, 0.0)
+    between = np.where((w0 > 0) & (w1 > 0), w0 * w1 * (mu0 - mu1) ** 2, -1.0)
+    t = int(np.argmax(between))
+    binary = np.where(q > t, 255, 0).astype(np.uint8)
+    return float(t), binary

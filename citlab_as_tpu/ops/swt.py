@@ -40,13 +40,16 @@ class StrokeWidthDistanceTransform:
             img = img[..., 0]
         if self._dark_on_bright:
             img = 255 - img.astype(np.int32)
-        _, binary = otsu_binarize(jnp.asarray(img.astype(np.float32)), blur_ksize=5)
         if jax.default_backend() == "cpu":
-            # host fast path: scipy's exact C EDT beats the JFA device
-            # kernel by ~30x when the active backend is the CPU anyway
-            dist = ndi.distance_transform_edt(np.asarray(binary) != 0)
+            # host fast path: scipy's C blur/EDT beats tracing the device
+            # kernels by ~30x when the active backend is the CPU anyway
+            from citlab_as_tpu.ops.binarize import otsu_binarize_host
+            _, binary = otsu_binarize_host(img.astype(np.float32), blur_ksize=5)
+            dist = ndi.distance_transform_edt(binary != 0)
             dist = np.minimum(dist, 255.0)
         else:
+            _, binary = otsu_binarize(jnp.asarray(img.astype(np.float32)),
+                                      blur_ksize=5)
             dist = np.asarray(distance_transform_edt(binary, cap=255.0))
         return dist.astype(np.uint8)
 
