@@ -113,6 +113,30 @@ def interline_distances_native(normed_polys: Sequence[Polygon],
     return out.tolist()
 
 
+def norm_poly_dists_native(poly_list: Sequence[Polygon],
+                           des_dist: int) -> Optional[List[Polygon]]:
+    """blow_up + thin_out per polygon in C (gk_norm_poly_dists); returns
+    None when the native kernel is unavailable."""
+    lib = get_lib()
+    if lib is None or not poly_list:
+        return None
+    coords, offsets = _pack(poly_list)
+    total = lib.gk_norm_poly_sizes(_dp(coords), _ip(offsets),
+                                   len(poly_list), des_dist)
+    out_coords = np.empty((total, 2), np.float64)
+    out_offsets = np.empty(len(poly_list) + 1, np.int32)
+    lib.gk_norm_poly_dists(_dp(coords), _ip(offsets), len(poly_list),
+                           des_dist, _dp(out_coords), _ip(out_offsets))
+    res = []
+    for i in range(len(poly_list)):
+        seg = out_coords[out_offsets[i]:out_offsets[i + 1]]
+        poly = Polygon.from_arrays(seg[:, 0].astype(np.int64),
+                                   seg[:, 1].astype(np.int64))
+        poly.get_bounding_box()
+        res.append(poly)
+    return res
+
+
 def calc_tols_native(normed_polys: Sequence[Polygon], tick_dist: int,
                      max_d: float, rel_tol: float) -> Optional[np.ndarray]:
     lib = get_lib()

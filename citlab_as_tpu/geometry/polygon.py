@@ -209,6 +209,13 @@ def thin_out(polygon: Polygon, des_dist: int) -> Polygon:
 def norm_poly_dists(poly_list: Sequence[Polygon], des_dist: int) -> List[Polygon]:
     """Canonical baseline normalization: blow_up then thin_out per polygon,
     with the degenerate-huge-bbox guard (polygon.py:244-268)."""
+    if len(poly_list) >= 32:
+        # C kernel pays off on whole-page baseline lists (~8x); the numpy
+        # path below stays the semantics oracle (golden-tested against it)
+        from citlab_as_tpu.geometry.native import norm_poly_dists_native
+        native = norm_poly_dists_native(poly_list, des_dist)
+        if native is not None:
+            return native
     res = []
     for poly in poly_list:
         bb = poly.get_bounding_box()
