@@ -9,6 +9,12 @@ run_gnn_clustering.py:327-337 / run_feature_generation.py:40-57
 so a process pool over item shards is the right host-side parallelism.
 Unlike the reference there is no stdout scraping — results and skipped
 items come back as values.
+
+Worker startup costs a full interpreter spin-up (~2-3 s here — the site
+hook imports jax at every Python start), so a pool only pays off when
+per-item work x items / workers well exceeds that, i.e. real corpora on
+multi-core hosts. On a single-core machine ``num_workers <= 1`` (the
+default) is strictly faster.
 """
 from __future__ import annotations
 
@@ -25,13 +31,19 @@ _WORKER_FN: Optional[Callable] = None
 
 def _init_worker(fn_builder):
     """Each worker builds its callable once (e.g. loads params) and forces
-    the CPU backend so forked workers never fight over the TPU tunnel."""
+    the CPU backend so spawned workers never fight over the TPU tunnel.
+    Done via env var, NOT by importing jax here: the import costs seconds
+    per worker and most host stages never touch jax."""
     global _WORKER_FN
-    import jax
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    import os
+    import sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if "jax" in sys.modules:   # spawned fresh this normally can't happen
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     _WORKER_FN = fn_builder()
 
 
