@@ -97,3 +97,45 @@ def test_native_speedup_sanity():
     interline_distances_native(normed, 5, 500)
     native_t = time.perf_counter() - t0
     assert native_t < 1.0  # typically ~ms
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_norm_poly_dists_native_matches_python(seed):
+    """gk_norm_poly_dists == numpy blow_up+thin_out on random polylines,
+    including the huge-bbox degenerate guard."""
+    from citlab_as_tpu.geometry.native import norm_poly_dists_native
+    from citlab_as_tpu.geometry.polygon import Polygon, blow_up, thin_out
+
+    rng = np.random.RandomState(seed)
+    polys = []
+    for _ in range(60):
+        n = rng.randint(2, 12)
+        xs = np.sort(rng.randint(0, 1200, n))
+        ys = rng.randint(0, 1800, n)
+        polys.append(Polygon(xs.tolist(), ys.tolist()))
+    polys.append(Polygon([0, 200000], [0, 5]))  # huge-bbox guard case
+
+    native = norm_poly_dists_native(polys, 5)
+    if native is None:
+        pytest.skip("native kernel unavailable")
+    for poly, got in zip(polys, native):
+        bb = poly.get_bounding_box()
+        src = Polygon([0], [0], 1) if (bb.width > 100000
+                                       or bb.height > 100000) else poly
+        want = thin_out(blow_up(src), 5)
+        assert got.x_points == want.x_points
+        assert got.y_points == want.y_points
+
+
+def test_norm_poly_dists_dispatch_threshold():
+    """norm_poly_dists uses the C kernel for lists >= 32 and stays
+    bit-identical to the numpy path either way."""
+    from citlab_as_tpu.geometry.polygon import Polygon, norm_poly_dists
+
+    rng = np.random.RandomState(3)
+    polys = [Polygon(np.sort(rng.randint(0, 500, 6)).tolist(),
+                     rng.randint(0, 700, 6).tolist()) for _ in range(40)]
+    long_run = norm_poly_dists(polys, 5)
+    per_poly = [norm_poly_dists([p], 5)[0] for p in polys]   # numpy path
+    for a, b in zip(long_run, per_poly):
+        assert a.x_points == b.x_points and a.y_points == b.y_points
