@@ -102,6 +102,28 @@ class SegmentationPredictor:
         return [probs[i, :im.shape[0], :im.shape[1], :]
                 for i, im in enumerate(images)]
 
+    def predict_batch_device(self, images: Sequence[np.ndarray]):
+        """Dispatch-only variant of :meth:`predict_batch`: returns a zero-arg
+        callable that materializes the per-image results when invoked. jit
+        dispatch is asynchronous, so callers can enqueue the next batch (and
+        do host work) before materializing this one — the device computes in
+        the background."""
+        if not images or len(images) > self.MAX_DEVICE_BATCH:
+            results = self.predict_batch(images)
+            return lambda: results
+        ph = _round_up(max(im.shape[0] for im in images), self.pad_multiple)
+        pw = _round_up(max(im.shape[1] for im in images), self.pad_multiple)
+        x = np.zeros((len(images), ph, pw, 1), np.float32)
+        for i, im in enumerate(images):
+            x[i, :im.shape[0], :im.shape[1], 0] = im
+        dev_probs = self._forward(self.variables, jnp.asarray(x))
+        shapes = [im.shape[:2] for im in images]
+
+        def materialize():
+            probs = np.asarray(dev_probs)
+            return [probs[i, :h, :w, :] for i, (h, w) in enumerate(shapes)]
+        return materialize
+
 
 class ShardedSegmentationPredictor(SegmentationPredictor):
     """Multi-chip data-parallel ARU-Net inference over a device mesh.

@@ -157,20 +157,21 @@ class SeparatorNetPostProcessor:
         """Throughput variant: net forwards batched through the predictor's
         ``predict_batch`` (same-bucket padding on device), post-processing and
         writing per page. Requires a predictor exposing ``predict_batch``
-        (e.g. inference.SegmentationPredictor); falls back to :meth:`run`."""
+        (e.g. inference.SegmentationPredictor); falls back to :meth:`run`.
+
+        Dispatch-ahead pipelining: jit dispatch is asynchronous, so the next
+        chunk's forward is enqueued on the device BEFORE the previous chunk's
+        results are materialized to the host — contour tracing and PAGE-XML
+        writing overlap the device compute."""
         if not hasattr(self.predict_fn, "predict_batch"):
             return self.run()
         pages = []
-        for start in range(0, len(self.image_paths), batch_size):
-            chunk = self.image_paths[start:start + batch_size]
-            greys, scales = [], []
-            for image_path in chunk:
-                image = load_image(image_path, mode="L").astype(np.float32)
-                scaled, sc = scale_image(image, self.fixed_height,
-                                         self.scaling_factor)
-                greys.append(np.asarray(scaled) / 255.0)
-                scales.append(sc)
-            outputs = self.predict_fn.predict_batch(greys)
+        in_flight = None   # (chunk_paths, outputs, scales) awaiting host work
+
+        def drain(entry):
+            chunk, outputs, scales = entry
+            if callable(outputs):     # device handle -> materialize now
+                outputs = outputs()
             for image_path, net_output, sc in zip(chunk, outputs, scales):
                 net_u8 = np.asarray(net_output * 255, dtype=np.uint8)
                 binary = apply_threshold(net_u8[..., 0], self.threshold)
@@ -180,4 +181,23 @@ class SeparatorNetPostProcessor:
                     polygons_dict.update(masks_to_polygons(mask, separator_type))
                 polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
                 pages.append(self._write_page(image_path, polygons_dict))
+
+        for start in range(0, len(self.image_paths), batch_size):
+            chunk = self.image_paths[start:start + batch_size]
+            greys, scales = [], []
+            for image_path in chunk:
+                image = load_image(image_path, mode="L").astype(np.float32)
+                scaled, sc = scale_image(image, self.fixed_height,
+                                         self.scaling_factor)
+                greys.append(np.asarray(scaled) / 255.0)
+                scales.append(sc)
+            if hasattr(self.predict_fn, "predict_batch_device"):
+                outputs = self.predict_fn.predict_batch_device(greys)
+            else:
+                outputs = self.predict_fn.predict_batch(greys)
+            if in_flight is not None:
+                drain(in_flight)
+            in_flight = (chunk, outputs, scales)
+        if in_flight is not None:
+            drain(in_flight)
         return pages

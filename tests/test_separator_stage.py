@@ -149,3 +149,44 @@ def test_separator_stage_creates_page_if_missing(tmp_path):
     assert os.path.exists(out_path)
     page = Page(out_path)
     assert len(page.get_regions()["SeparatorRegion"]) >= 2
+
+
+def test_run_batched_pipelined_matches_run(tmp_path):
+    """run_batched (dispatch-ahead pipelining) writes the same pages as the
+    per-image run() path."""
+    import os
+    from PIL import Image
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.pagexml import Page
+    from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(3):
+        img = np.full((96, 128), 255, np.uint8)
+        img[8:88, 60 + i:64 + i] = 0   # vertical separator, varying x
+        p = tmp_path / f"pp{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    pred = SegmentationPredictor(model_dir=None, pad_multiple=32, seed=1)
+
+    proc_a = SeparatorNetPostProcessor(paths, pred, fixed_height=None,
+                                       threshold=0.3)
+    proc_a.run_batched(batch_size=2)
+    batched = {}
+    for i in range(3):
+        page = Page(str(tmp_path / "page" / f"pp{i}.xml.xml"))
+        batched[i] = sorted(
+            s.points.to_string()
+            for s in page.get_regions().get("SeparatorRegion", []))
+        os.remove(str(tmp_path / "page" / f"pp{i}.xml.xml"))
+
+    proc_b = SeparatorNetPostProcessor(paths, pred, fixed_height=None,
+                                       threshold=0.3)
+    proc_b.run()
+    for i in range(3):
+        page = Page(str(tmp_path / "page" / f"pp{i}.xml.xml"))
+        single = sorted(
+            s.points.to_string()
+            for s in page.get_regions().get("SeparatorRegion", []))
+        assert single == batched[i]
