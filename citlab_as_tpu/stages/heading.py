@@ -174,3 +174,52 @@ class HeadingNetPostProcessor:
             writer.save_page_xml(page_path + ".xml")
             pages.append(writer.page_object)
         return pages
+
+    def run_batched(self, batch_size: int = 4) -> List:
+        """Batched + dispatch-ahead variant of :meth:`run` (cf.
+        SeparatorNetPostProcessor.run_batched): the next chunk's net forward
+        is enqueued before the previous chunk's SWT/classification host work
+        runs. Falls back to :meth:`run` without a batching predictor."""
+        if (self.predict_fn is None or self.weight_dict["net"] == 0
+                or not hasattr(self.predict_fn, "predict_batch")):
+            return self.run()
+        pages = []
+        in_flight = None
+
+        def drain(entry):
+            chunk, outputs, images = entry
+            if callable(outputs):
+                outputs = outputs()
+            for image_path, net_output, image in zip(chunk, outputs, images):
+                net_u8 = np.asarray(net_output * 255, dtype=np.uint8)
+                net_output_post = net_u8[:, :, 0] / 255.0
+                swt_feature_image = self.swt.distance_transform(image)
+                page_path = get_page_path(image_path)
+                writer = RegionToPageWriter(
+                    page_path, path_to_image=image_path,
+                    fixed_height=self.fixed_height,
+                    scaling_factor=self.scaling_factor)
+                self.classify_page(writer.page_object, writer.scaling_factor,
+                                   net_output_post, swt_feature_image)
+                writer.save_page_xml(page_path + ".xml")
+                pages.append(writer.page_object)
+
+        for start in range(0, len(self.image_paths), batch_size):
+            chunk = self.image_paths[start:start + batch_size]
+            greys, images = [], []
+            for image_path in chunk:
+                image = load_image(image_path, mode="L").astype(np.float32)
+                scaled, _ = scale_image(image, self.fixed_height,
+                                        self.scaling_factor)
+                greys.append(np.asarray(scaled) / 255.0)
+                images.append(image)
+            if hasattr(self.predict_fn, "predict_batch_device"):
+                outputs = self.predict_fn.predict_batch_device(greys)
+            else:
+                outputs = self.predict_fn.predict_batch(greys)
+            if in_flight is not None:
+                drain(in_flight)
+            in_flight = (chunk, outputs, images)
+        if in_flight is not None:
+            drain(in_flight)
+        return pages

@@ -134,3 +134,57 @@ def test_heading_stage_swt_only(workdir):
     by_id = {tl.id: tl for tl in page.get_textlines()}
     assert by_id["tl_head"].get_semantic_type() == "heading"
     assert by_id["tl_b1"].get_semantic_type() is None
+
+
+def test_heading_run_batched_matches_run(tmp_path):
+    """Batched pipelined heading stage == per-page run()."""
+    import os
+    from PIL import Image
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.pagexml import Page
+    from citlab_as_tpu.stages.heading import HeadingNetPostProcessor
+
+    paths = []
+    for i in range(3):
+        img = np.full((120, 160), 255, np.uint8)
+        img[20:50, 20 + 10 * i:140] = 0   # fat block = candidate heading
+        img[70:78, 20:140] = 0
+        p = tmp_path / f"h{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+        line = f'''<TextLine id="tl_a">
+      <Coords points="20,18 140,18 140,52 20,52"/>
+      <Baseline points="20,50 140,50"/></TextLine>
+    <TextLine id="tl_b">
+      <Coords points="20,68 140,68 140,80 20,80"/>
+      <Baseline points="20,78 140,78"/></TextLine>'''
+        xml = f'''<?xml version="1.0" encoding="UTF-8"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Metadata><Creator>t</Creator><Created>x</Created><LastChange>x</LastChange></Metadata>
+  <Page imageFilename="h{i}.png" imageWidth="160" imageHeight="120">
+    <TextRegion id="tr_1" type="paragraph">
+      <Coords points="10,10 150,10 150,110 10,110"/>
+{line}
+    </TextRegion>
+  </Page>
+</PcGts>'''
+        (tmp_path / "page").mkdir(exist_ok=True)
+        (tmp_path / "page" / f"h{i}.xml").write_text(xml)
+
+    pred = SegmentationPredictor(model_dir=None, pad_multiple=32, seed=2)
+
+    def tags_for(run_batched):
+        proc = HeadingNetPostProcessor(paths, pred, fixed_height=None)
+        if run_batched:
+            proc.run_batched(batch_size=2)
+        else:
+            proc.run()
+        out = {}
+        for i in range(3):
+            page = Page(str(tmp_path / "page" / f"h{i}.xml.xml"))
+            out[i] = {tl.id: (tl.custom.get("structure") or {}).get("semantic_type")
+                      for tl in page.get_textlines()}
+            os.remove(str(tmp_path / "page" / f"h{i}.xml.xml"))
+        return out
+
+    assert tags_for(True) == tags_for(False)
