@@ -35,6 +35,15 @@ def main(argv: Optional[Sequence[str]] = None):
                         action="store_true", default=False)
     parser.add_argument("--mask_heading_separated_confs",
                         action="store_true", default=False)
+    parser.add_argument("--image_input", action="store_true", default=False,
+                        help="Visual 'v' nets: feed the page image through "
+                             "the visual backbone (run_gnn_clustering"
+                             ".py:223-279).")
+    parser.add_argument("--visual_backbone", type=str, default="ARU_v1")
+    parser.add_argument("--assign_visual_features_to_nodes",
+                        type=lambda s: s.lower() != "false", default=True)
+    parser.add_argument("--assign_visual_features_to_edges",
+                        type=lambda s: s.lower() != "false", default=False)
     args = parser.parse_args(argv)
 
     from citlab_as_tpu.config.flags import _parse_dict_value
@@ -50,7 +59,11 @@ def main(argv: Optional[Sequence[str]] = None):
     predictor = RelationPredictor(
         args.model_dir,
         node_feature_mask=_parse_mask(args.node_input_feature_mask),
-        edge_feature_mask=_parse_mask(args.edge_input_feature_mask))
+        edge_feature_mask=_parse_mask(args.edge_input_feature_mask),
+        image_input=args.image_input,
+        visual_backbone=args.visual_backbone,
+        assign_visual_features_to_nodes=args.assign_visual_features_to_nodes,
+        assign_visual_features_to_edges=args.assign_visual_features_to_edges)
 
     json_paths = load_list_file(args.eval_list)
     done = 0

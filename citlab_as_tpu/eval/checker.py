@@ -13,7 +13,6 @@ from __future__ import annotations
 import json
 import logging
 from enum import Enum, auto, unique
-from pathlib import Path
 from typing import Dict, List, Set
 
 from citlab_as_tpu.pagexml import Page

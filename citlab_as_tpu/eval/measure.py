@@ -15,7 +15,7 @@ arXiv:1705.03311 / the ICPR-2020 AS competition:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -18,7 +18,7 @@ exterior, the rest are holes (even-odd semantics).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import scipy.ndimage as ndi

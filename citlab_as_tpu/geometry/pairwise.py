@@ -25,7 +25,6 @@ loop nest directly and is used when built; results are identical.
 """
 from __future__ import annotations
 
-import math
 from typing import List, Sequence
 
 import numpy as np

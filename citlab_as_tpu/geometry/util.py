@@ -7,10 +7,9 @@ live in :mod:`citlab_as_tpu.geometry.pairwise`.
 """
 from __future__ import annotations
 
-import functools
 import math
 from collections import Counter
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from scipy.spatial import Delaunay

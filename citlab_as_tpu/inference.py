@@ -8,7 +8,6 @@ XLA compiles a handful of programs, then crop back.
 from __future__ import annotations
 
 import logging
-from functools import partial
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -181,13 +180,27 @@ class RelationPredictor:
                  node_feature_mask: Optional[Sequence[int]] = None,
                  edge_feature_mask: Optional[Sequence[int]] = None,
                  node_buckets: Sequence[int] = (16, 32, 64, 128, 256),
+                 image_input: bool = False,
+                 visual_backbone: str = "ARU_v1",
+                 assign_visual_features_to_nodes: bool = True,
+                 assign_visual_features_to_edges: bool = False,
+                 image_min_dimension: int = 600,
+                 image_max_dimension: int = 1024,
                  seed: int = 0):
         self.model = GraphRelation(
             num_classes=num_classes, gnn_params=gnn_params,
-            message_params=message_params, update_params=update_params)
+            message_params=message_params, update_params=update_params,
+            image_input=image_input, visual_backbone=visual_backbone,
+            assign_visual_features_to_nodes=assign_visual_features_to_nodes,
+            assign_visual_features_to_edges=assign_visual_features_to_edges)
         self.node_feature_mask = node_feature_mask
         self.edge_feature_mask = edge_feature_mask
         self.node_buckets = list(node_buckets)
+        self.image_input = image_input
+        self.assign_nodes = assign_visual_features_to_nodes
+        self.assign_edges = assign_visual_features_to_edges
+        self.image_min_dimension = image_min_dimension
+        self.image_max_dimension = image_max_dimension
         self.model_dir = model_dir
         self.seed = seed
         self.variables = None
@@ -228,7 +241,52 @@ class RelationPredictor:
                 return b
         return self.node_buckets[-1]
 
-    def confidences(self, graph: dict) -> np.ndarray:
+    def _visual_inputs(self, graph: dict, image: np.ndarray,
+                       max_nodes: int, max_edges: int) -> dict:
+        """image + visual regions -> model input arrays. The page image is
+        ratio-resized (image_resizer.py:111-168 contract) and region coords
+        are scaled into the resized frame; regions pad to the node/edge
+        buckets ([1, N, 2, P] + valid point counts)."""
+        from citlab_as_tpu.ops.image_utils import resize_image_ratio
+
+        orig_h, orig_w = image.shape[:2]
+        resized, (th, tw) = resize_image_ratio(
+            image, self.image_min_dimension, self.image_max_dimension,
+            pad_to_max_dimension=True)
+        resized = np.asarray(resized, np.float32)
+        if resized.max() > 1.5:
+            resized = resized / 255.0
+        out = {"image": resized[None, :, :, None],
+               "image_shape": np.asarray([[th, tw]], np.int32)}
+
+        def pack(regions, num_points, max_items):
+            arr = [np.asarray(r, np.float32) for r in regions]  # [2, P_i]
+            max_p = max(a.shape[1] for a in arr)
+            packed = np.zeros((1, max_items, 2, max_p), np.float32)
+            counts = np.zeros((1, max_items), np.int32)
+            sx, sy = tw / orig_w, th / orig_h
+            for i, a in enumerate(arr):
+                packed[0, i, 0, :a.shape[1]] = a[0] * sx
+                packed[0, i, 1, :a.shape[1]] = a[1] * sy
+                counts[0, i] = num_points[i]
+            return packed, counts
+
+        if self.assign_nodes and "visual_regions_nodes" in graph:
+            packed, counts = pack(graph["visual_regions_nodes"],
+                                  graph["num_points_visual_regions_nodes"],
+                                  max_nodes)
+            out["visual_regions_nodes"] = packed
+            out["num_points_visual_regions_nodes"] = counts
+        if self.assign_edges and "visual_regions_edges" in graph:
+            packed, counts = pack(graph["visual_regions_edges"],
+                                  graph["num_points_visual_regions_edges"],
+                                  max_edges)
+            out["visual_regions_edges"] = packed
+            out["num_points_visual_regions_edges"] = counts
+        return out
+
+    def confidences(self, graph: dict,
+                    image: Optional[np.ndarray] = None) -> np.ndarray:
         from citlab_as_tpu.train.input_pipeline import apply_feature_masks
         n = int(graph["num_nodes"])
         node_features = apply_feature_masks(
@@ -240,9 +298,13 @@ class RelationPredictor:
         rels, _, _ = build_full_relations(n, None)
 
         max_nodes = self._bucket(n)
+        max_edges = max(len(edges), 1)
         g = pad_graph(n, node_features, edges, edge_features, rels, None,
-                      max_nodes, max(len(edges), 1), max_nodes * max_nodes)
+                      max_nodes, max_edges, max_nodes * max_nodes)
         inputs = {k: jnp.asarray(v) for k, v in batch_graphs([g]).items()}
+        if self.image_input and image is not None:
+            inputs.update({k: jnp.asarray(v) for k, v in self._visual_inputs(
+                graph, image, max_nodes, max_edges).items()})
         self._ensure_params(inputs)
         conf = np.asarray(self._predict(self.variables, inputs))[0]
         return conf[:n * n].reshape(n, n)

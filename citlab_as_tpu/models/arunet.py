@@ -29,7 +29,7 @@ arbitrary input sizes work (inputs padded to multiples of
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

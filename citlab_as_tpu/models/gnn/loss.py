@@ -6,7 +6,7 @@ recall, F1) and AUC summaries are computed host-side from confidences.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ fully fused by XLA, no host sync. Edge dedup happens on host
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ factorized 7x7 in B), NHWC, endpoints dict returned alongside the final map.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

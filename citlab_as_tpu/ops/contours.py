@@ -14,7 +14,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from citlab_as_tpu.ops.connected_components import connected_components, _BG
+from citlab_as_tpu.ops.connected_components import connected_components
 
 Point = Tuple[int, int]
 Ring = List[Point]

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import copy
 from collections import defaultdict
-from typing import Dict, List, Optional, Set
+from typing import Dict, List, Set
 
 from citlab_as_tpu.geometry.pairwise import calc_interline_distances
 from citlab_as_tpu.geometry.polygon import Polygon, norm_poly_dists

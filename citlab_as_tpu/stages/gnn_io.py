@@ -136,16 +136,26 @@ def gnn_clustering_for_page(json_path: str,
                             out_dir: str = "",
                             mask_horizontally_separated: bool = False,
                             mask_heading_separated: bool = False,
-                            page_path: Optional[str] = None) -> Optional[str]:
+                            page_path: Optional[str] = None,
+                            image_path: Optional[str] = None) -> Optional[str]:
     """One page: graph JSON -> confidences -> (masking) -> clustering ->
     clustering PAGE-XML. ``confidence_fn(graph_json_dict) -> [N, N] array``
-    wraps the jitted relation net (or loaded confidences)."""
+    wraps the jitted relation net (or loaded confidences). When the
+    predictor takes ``image_input`` (visual 'v' nets) the page image is
+    loaded and passed along (run_gnn_clustering.py:223-279)."""
     with open(json_path) as f:
         graph = json.load(f)
     if page_path is None:
         page_path = get_page_from_json_path(json_path)
 
-    confs = np.asarray(confidence_fn(graph), np.float64)
+    if getattr(confidence_fn, "image_input", False):
+        from citlab_as_tpu.utils.io import get_img_from_page_path, load_image
+        img = load_image(image_path or get_img_from_page_path(page_path),
+                         mode="L")
+        confs = np.asarray(confidence_fn(graph, image=np.asarray(img)),
+                           np.float64)
+    else:
+        confs = np.asarray(confidence_fn(graph), np.float64)
     n = int(graph["num_nodes"])
     confs = confs.reshape(n, n)
 

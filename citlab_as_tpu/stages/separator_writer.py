@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import copy
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -8,7 +8,7 @@ one is a recursive XY-cut over projection profiles.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 

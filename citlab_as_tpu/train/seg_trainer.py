@@ -10,12 +10,11 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from citlab_as_tpu.models.arunet import ARUNet
 from citlab_as_tpu.train import checkpoint as ckpt

@@ -11,7 +11,6 @@ runs without host transfers. Labels follow the separator-net contract
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ import json
 import logging
 import os
 import random
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 from citlab_as_tpu.pagexml import Page
 

@@ -1,4 +1,6 @@
 """Inception v3 backbone + GNN visual branch tests."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,3 +138,90 @@ def test_image_resizer_batch():
                                    pad_to_max_dimension=True)
     assert all(im.shape == (32, 32) for im in ratio)
     assert shapes[0][0] <= 32 and shapes[0][1] <= 32
+
+
+def test_relation_predictor_with_visual_input():
+    """image_input predictor consumes graph visual regions + page image."""
+    from citlab_as_tpu.inference import RelationPredictor
+
+    rng = np.random.RandomState(0)
+    n = 3
+    # bbox visual regions [N, 2, 4] as features.py writes them
+    regions = []
+    for i in range(n):
+        x0, y0 = 50 + 120 * i, 40
+        xs = [x0, x0 + 100, x0 + 100, x0]
+        ys = [y0, y0, y0 + 200, y0 + 200]
+        regions.append([xs, ys])
+    graph = {
+        "num_nodes": n,
+        "interacting_nodes": [[0, 1], [1, 2], [0, 2]],
+        "num_interacting_nodes": 3,
+        "node_features": rng.rand(n, 15).tolist(),
+        "edge_features": rng.rand(3, 2).tolist(),
+        "visual_regions_nodes": regions,
+        "num_points_visual_regions_nodes": [4] * n,
+    }
+    image = (rng.rand(400, 420) * 255).astype(np.uint8)
+
+    pred = RelationPredictor(model_dir=None, image_input=True,
+                             visual_backbone="ARU_v1", node_buckets=[8])
+    conf = pred(graph, image=image)
+    assert conf.shape == (n, n)
+    assert np.all((conf >= 0) & (conf <= 1))
+    names = ["/".join(str(p) for p in path) for path, _ in
+             jax.tree_util.tree_leaves_with_path(pred.variables["params"])]
+    assert any("visual" in nm for nm in names)
+
+
+def test_gnn_clustering_for_page_visual(tmp_path):
+    """gnn_clustering_for_page loads the page image for image_input
+    predictors and writes the clustering page."""
+    import json as json_mod
+    from PIL import Image
+    from citlab_as_tpu.inference import RelationPredictor
+    from citlab_as_tpu.stages.gnn_io import gnn_clustering_for_page
+
+    rng = np.random.RandomState(1)
+    n = 3
+    regions = []
+    for i in range(n):
+        x0 = 20 + 60 * i
+        regions.append([[x0, x0 + 50, x0 + 50, x0], [20, 20, 120, 120]])
+    graph = {
+        "num_nodes": n,
+        "interacting_nodes": [[0, 1], [1, 2], [0, 2]],
+        "num_interacting_nodes": 3,
+        "node_features": rng.rand(n, 15).tolist(),
+        "edge_features": rng.rand(3, 2).tolist(),
+        "visual_regions_nodes": regions,
+        "num_points_visual_regions_nodes": [4] * n,
+    }
+    (tmp_path / "json").mkdir()
+    json_path = tmp_path / "json" / "v.json"
+    json_path.write_text(json_mod.dumps(graph))
+
+    # page + image for the writer
+    lines = "".join(
+        f'<TextRegion id="tr_{i}"><Coords points="{r[0][0]},{r[1][0]} '
+        f'{r[0][1]},{r[1][1]} {r[0][2]},{r[1][2]} {r[0][3]},{r[1][3]}"/>'
+        f'<TextLine id="tl_{i}"><Coords points="{r[0][0]},40 {r[0][1]},40 '
+        f'{r[0][1]},60 {r[0][0]},60"/>'
+        f'<Baseline points="{r[0][0]},55 {r[0][1]},55"/></TextLine>'
+        f'</TextRegion>' for i, r in enumerate(regions))
+    xml = ('<?xml version="1.0" encoding="UTF-8"?>'
+           '<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/'
+           'pagecontent/2013-07-15"><Metadata><Creator>t</Creator>'
+           '<Created>x</Created><LastChange>x</LastChange></Metadata>'
+           '<Page imageFilename="v.png" imageWidth="220" imageHeight="160">'
+           f'{lines}</Page></PcGts>')
+    (tmp_path / "page").mkdir()
+    (tmp_path / "page" / "v.xml").write_text(xml)
+    Image.fromarray(np.full((160, 220), 255, np.uint8)).save(tmp_path / "v.png")
+
+    pred = RelationPredictor(model_dir=None, image_input=True,
+                             visual_backbone="ARU_v1", node_buckets=[8])
+    out = gnn_clustering_for_page(
+        str(json_path), pred, clustering_method="dbscan",
+        page_path=str(tmp_path / "page" / "v.xml"))
+    assert out is not None and os.path.exists(out)
