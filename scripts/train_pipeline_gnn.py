@@ -1,0 +1,167 @@
+"""Train the relation GNN on features produced by the REAL pipeline.
+
+Unlike scripts/train_synthetic_gnn.py (hand-built feature vectors), this
+closes the loop: synthetic multi-article newspaper pages are rendered to
+images + GT PAGE-XML, the TRAINED separator ARU-Net detects the drawn
+rules, text regions are built per GT article, and the actual feature
+generator (SWT stroke widths, Delaunay edges, separator edge rules)
+produces the graph JSONs the GNN trains on — the same files inference
+consumes.
+
+Usage:
+    python scripts/train_pipeline_gnn.py --model_dir models_ckpt/gnn_pipeline
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_article_page(out_dir: str, name: str, rng: np.random.RandomState,
+                      w: int = 1000, h: int = 1500):
+    """Multi-article page: 2-3 columns; horizontal rules split a column into
+    articles; article starts get heading-sized strokes. GT article ids are
+    written into the PAGE-XML text lines."""
+    from PIL import Image
+
+    n_cols = rng.randint(2, 4)
+    col_w = w // n_cols
+    img = np.full((h, w), 255, np.uint8)
+    for c in range(1, n_cols):
+        x = c * col_w
+        img[40:h - 40, x - 2:x + 2] = 40
+
+    lines = []
+    i = 0
+    article = 0
+    for c in range(n_cols):
+        x0, x1 = c * col_w + 30, (c + 1) * col_w - 30
+        y = 90
+        new_article = True
+        while y < h - 80:
+            if new_article and rng.rand() < 0.7:
+                # heading strokes (taller/fatter)
+                for x in range(x0, x1 - 20, 34):
+                    img[y - 44:y - 4, x:x + 14] = 0
+                y_coords = (y - 48, y + 4)
+            else:
+                for x in range(x0, x1 - 8, 22):
+                    img[y - 26:y - 2, x:x + 6] = 0
+                y_coords = (y - 30, y + 4)
+            lines.append(
+                f'<TextLine id="tl_{i}" custom="structure '
+                f'{{type:article; id:a{article + 1};}}">\n'
+                f'  <Coords points="{x0},{y_coords[0]} {x1},{y_coords[0]} '
+                f'{x1},{y_coords[1]} {x0},{y_coords[1]}"/>\n'
+                f'  <Baseline points="{x0},{y} {x1},{y}"/>\n'
+                f'  <TextEquiv><Unicode>line {i}</Unicode></TextEquiv>\n'
+                f'</TextLine>')
+            i += 1
+            new_article = False
+            y += int(rng.uniform(55, 75))
+            # article break inside the column: horizontal rule + gap
+            if y < h - 160 and rng.rand() < 0.30:
+                img[y - 20:y - 17, x0 - 10:x1 + 10] = 40
+                y += 30
+                article += 1
+                new_article = True
+        article += 1
+
+    Image.fromarray(img).save(os.path.join(out_dir, f"{name}.png"))
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/'
+        'pagecontent/2013-07-15">\n'
+        '  <Metadata><Creator>gen</Creator><Created>x</Created>'
+        '<LastChange>x</LastChange></Metadata>\n'
+        f'  <Page imageFilename="{name}.png" imageWidth="{w}" '
+        f'imageHeight="{h}">\n'
+        '    <TextRegion id="tr_1" type="paragraph">\n'
+        f'      <Coords points="10,30 {w - 10},30 {w - 10},{h - 30} '
+        f'10,{h - 30}"/>\n'
+        + "\n".join(lines) +
+        '\n    </TextRegion>\n  </Page>\n</PcGts>\n')
+    page_dir = os.path.join(out_dir, "page")
+    os.makedirs(page_dir, exist_ok=True)
+    page_path = os.path.join(page_dir, f"{name}.xml")
+    with open(page_path, "w") as f:
+        f.write(xml)
+    return os.path.join(out_dir, f"{name}.png"), page_path, article
+
+
+def build_dataset(work_dir: str, num_pages: int, separator_model_dir: str,
+                  seed: int):
+    """Pages -> trained-separator stage -> GT text regions -> feature JSONs."""
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.stages.features import generate_feature_jsons
+    from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
+    from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(work_dir, exist_ok=True)
+    img_paths, page_paths = [], []
+    for i in range(num_pages):
+        img, page, _ = make_article_page(work_dir, f"g{i:03d}", rng)
+        img_paths.append(img)
+        page_paths.append(page)
+
+    predictor = SegmentationPredictor(separator_model_dir)
+    proc = SeparatorNetPostProcessor(img_paths, predictor, fixed_height=1500)
+    proc.run_batched(batch_size=4)
+    out_pages = [p + ".xml" for p in page_paths]
+
+    for page_path in out_pages:
+        generate_text_regions_for_page(page_path)
+
+    json_dir = os.path.join(work_dir, "json")
+    return generate_feature_jsons(out_pages, out_path=json_dir,
+                                  image_paths=img_paths)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", type=str, required=True)
+    parser.add_argument("--work_dir", type=str, default="/tmp/pipeline_gnn")
+    parser.add_argument("--num_pages", type=int, default=80)
+    parser.add_argument("--epochs", type=int, default=24)
+    parser.add_argument("--samples_per_epoch", type=int, default=1024)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--separator_model_dir", type=str,
+                        default="models_ckpt/separator")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default="cpu")
+    args = parser.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    json_paths = build_dataset(args.work_dir, args.num_pages,
+                               args.separator_model_dir, args.seed)
+    print(f"built {len(json_paths)} graph JSONs")
+    split = max(1, int(0.9 * len(json_paths)))
+
+    from citlab_as_tpu.train.trainer import TrainerGNN
+    trainer = TrainerGNN(
+        args.model_dir, json_paths[:split], json_paths[split:],
+        flags={"epochs": args.epochs,
+               "samples_per_epoch": args.samples_per_epoch,
+               "batch_size": args.batch_size,
+               "eval_every_n": 2,
+               "best_export_metrics": ["f1"],
+               "weight_decay": 1e-6},
+        input_params={"sample_num_relations_to_consider": 300,
+                      "augmentation_config": ["scaling", "translation"]},
+        optimizer_params={"learning_rate": 1e-3,
+                          "final_epochs": max(2, args.epochs // 4)},
+        seed=args.seed)
+    result = trainer.train()
+    print("best metrics:", result["best_metrics"])
+    return result
+
+
+if __name__ == "__main__":
+    main()
