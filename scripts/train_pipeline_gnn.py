@@ -41,6 +41,7 @@ def make_article_page(out_dir: str, name: str, rng: np.random.RandomState,
         x0, x1 = c * col_w + 30, (c + 1) * col_w - 30
         y = 90
         new_article = True
+        lines_in_article = 0
         while y < h - 80:
             if new_article and rng.rand() < 0.7:
                 # heading strokes (taller/fatter)
@@ -61,13 +62,18 @@ def make_article_page(out_dir: str, name: str, rng: np.random.RandomState,
                 f'</TextLine>')
             i += 1
             new_article = False
+            lines_in_article += 1
             y += int(rng.uniform(55, 75))
-            # article break inside the column: horizontal rule + gap
-            if y < h - 160 and rng.rand() < 0.30:
-                img[y - 20:y - 17, x0 - 10:x1 + 10] = 40
-                y += 30
+            # article break inside the column: horizontal rule + a clear
+            # gap, only after a few lines (realistic article sizes — and
+            # the DBSCAN stage needs the gap to exceed the interline scale)
+            if (y < h - 220 and lines_in_article >= 3
+                    and rng.rand() < 0.35):
+                img[y - 10:y - 7, x0 - 10:x1 + 10] = 40
+                y += 60
                 article += 1
                 new_article = True
+                lines_in_article = 0
         article += 1
 
     Image.fromarray(img).save(os.path.join(out_dir, f"{name}.png"))
@@ -113,8 +119,23 @@ def build_dataset(work_dir: str, num_pages: int, separator_model_dir: str,
     proc.run_batched(batch_size=4)
     out_pages = [p + ".xml" for p in page_paths]
 
+    # text regions must come from the SAME blind path inference uses
+    # (DBSCAN baseline clustering), so the trained GNN sees production
+    # region granularity; GT article ids are restored afterwards so the
+    # feature generator derives gt_relations from truth, not clusters.
+    from citlab_as_tpu.pagexml import Page
+    from citlab_as_tpu.stages.baseline_clustering import cluster_page
     for page_path in out_pages:
+        gt_ids = {tl.id: tl.get_article_id()
+                  for tl in Page(page_path).get_textlines()}
+        cluster_page(page_path)
         generate_text_regions_for_page(page_path)
+        page = Page(page_path)
+        tls = page.get_textlines()
+        for tl in tls:
+            tl.set_article_id(gt_ids.get(tl.id))
+        page.set_textline_attr(tls)
+        page.write_page_xml(page_path)
 
     json_dir = os.path.join(work_dir, "json")
     return generate_feature_jsons(out_pages, out_path=json_dir,

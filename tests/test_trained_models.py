@@ -330,3 +330,57 @@ def test_heading_stage_tags_demo_headings(tmp_path):
             for tl in page.get_textlines()}
     assert tags["tl_h0"] == "heading" and tags["tl_h1"] == "heading"
     assert all(v is None for k, v in tags.items() if not k.startswith("tl_h"))
+
+
+GNN_PIPE_CKPT = os.path.join(REPO, "models_ckpt", "gnn_pipeline", "best", "f1")
+
+
+@pytest.mark.skipif(
+    not (_ckpt_exists(SEP_CKPT) and _ckpt_exists(HEAD_CKPT)
+         and os.path.isdir(GNN_PIPE_CKPT)),
+    reason="needs all three checkpoints")
+def test_blind_e2e_multi_article_f1(tmp_path):
+    """The hardest committed-model test: a fresh page with multiple
+    articles per column (horizontal rules + gaps), GT ids STRIPPED from
+    the input; separator net + DBSCAN + pipeline-trained GNN must recover
+    the partition blind. The GNN here was trained on features from the
+    real pipeline (scripts/train_pipeline_gnn.py), with regions from the
+    same blind DBSCAN path inference uses."""
+    import shutil
+    import sys
+    sys.path.insert(0, REPO)
+    from scripts.train_pipeline_gnn import make_article_page
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+    from citlab_as_tpu.cli.run_measure import main as measure_main
+    from citlab_as_tpu.pagexml import Page
+
+    work = str(tmp_path)
+    rng = np.random.RandomState(777)
+    img, page_path, n_articles = make_article_page(work, "p", rng)
+    assert n_articles >= 4  # multi-article page
+
+    gt_dir = os.path.join(work, "gt", "page")
+    os.makedirs(gt_dir)
+    gt_path = os.path.join(gt_dir, "p.xml")
+    shutil.copy(page_path, gt_path)
+
+    page = Page(page_path)
+    tls = page.get_textlines()
+    for tl in tls:
+        tl.set_article_id(None)
+    page.set_textline_attr(tls)
+    page.write_page_xml(page_path)
+
+    result = run_full_workflow(
+        [img], separator_model_dir=SEP_CKPT, heading_model_dir=HEAD_CKPT,
+        gnn_model_dir=GNN_PIPE_CKPT, clustering_method="dbscan",
+        out_dir=os.path.join(work, "out"))
+    gt_lst = os.path.join(work, "gt.lst")
+    hy_lst = os.path.join(work, "hy.lst")
+    open(gt_lst, "w").write(gt_path + "\n")
+    open(hy_lst, "w").write(result["clustered"][0] + "\n")
+    out = measure_main(["--path_to_gt_xml_lst", gt_lst,
+                        "--path_to_hy_xml_lst", hy_lst,
+                        "--min_tol", "10", "--max_tol", "30"])
+    as_r, as_p, as_f = out["as"]
+    assert as_f > 0.9, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
