@@ -40,11 +40,33 @@ def _separator_masks_device(binary: jnp.ndarray, min_cc_size: jnp.ndarray,
     """Device part of post_process (separator_net_post_processor.py:33-97):
     CC filter -> horizontal/vertical openings -> subtract -> noise opening."""
     cleaned = remove_small_components(binary, min_cc_size).astype(jnp.float32)
+    return _separator_morphology_device(cleaned, h_kernel, v_kernel,
+                                        noise_kernel)
+
+
+@partial(jax.jit, static_argnames=("h_kernel", "v_kernel", "noise_kernel"))
+def _separator_morphology_device(cleaned: jnp.ndarray, h_kernel: int,
+                                 v_kernel: int, noise_kernel: int):
+    """Morphology-only tail of the pipeline (CC filtering done upstream)."""
     horizontal = morph_open(cleaned, h_kernel, 1)
     vertical = morph_open(cleaned, 1, v_kernel)
     horizontal = jnp.clip(horizontal - vertical, 0, 255)  # cv2.subtract saturates
     horizontal = morph_open(horizontal, noise_kernel, 1)
     return horizontal.astype(jnp.uint8), vertical.astype(jnp.uint8)
+
+
+def _remove_small_components_host(binary: np.ndarray,
+                                  min_size: int) -> np.ndarray:
+    """scipy twin of ops.connected_components.remove_small_components for
+    the CPU backend (the device labeling's associative scans lower poorly
+    on the CPU; scipy's C label + bincount run in ~50 ms/page)."""
+    import scipy.ndimage as ndi
+    mask = np.asarray(binary) != 0
+    labels, _ = ndi.label(mask, structure=np.ones((3, 3), np.int8))
+    sizes = np.bincount(labels.ravel())
+    sizes[0] = 0
+    keep = sizes[labels] >= min_size
+    return np.where(keep, 255, 0).astype(np.float32)
 
 
 def separator_post_process(binary: np.ndarray,
@@ -76,8 +98,14 @@ def separator_post_process(binary: np.ndarray,
                 "vertical": np.asarray(vertical).astype(np.uint8)}
 
     # CC threshold: components < 100 px (1/size*100 of total, base:230-251)
-    horizontal, vertical = _separator_masks_device(
-        jnp.asarray(binary), jnp.int32(100), h_kernel, v_kernel, noise_kernel)
+    import jax
+    if jax.default_backend() == "cpu":
+        cleaned = _remove_small_components_host(binary, 100)
+        horizontal, vertical = _separator_morphology_device(
+            jnp.asarray(cleaned), h_kernel, v_kernel, noise_kernel)
+    else:
+        horizontal, vertical = _separator_masks_device(
+            jnp.asarray(binary), jnp.int32(100), h_kernel, v_kernel, noise_kernel)
     return {"horizontal": np.asarray(horizontal), "vertical": np.asarray(vertical)}
 
 
