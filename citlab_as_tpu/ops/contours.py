@@ -14,8 +14,6 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from citlab_as_tpu.ops.connected_components import connected_components
-
 Point = Tuple[int, int]
 Ring = List[Point]
 
@@ -103,7 +101,11 @@ def trace_contours(binary, labels=None) -> List[List[Ring]]:
     if not mask.any():
         return []
     if labels is None:
-        labels = np.asarray(connected_components(mask))
+        # tracing is host code: scipy's C labeling beats a device round
+        # trip here; label VALUES only key the ring grouping, so the
+        # numbering convention doesn't matter
+        import scipy.ndimage as ndi
+        labels, _ = ndi.label(mask, structure=np.ones((3, 3), np.int8))
     else:
         labels = np.asarray(labels)
 
