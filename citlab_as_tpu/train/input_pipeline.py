@@ -75,6 +75,14 @@ DEFAULT_INPUT_PARAMS: Dict[str, object] = {
     "augmentation_config": [],       # e.g. ['scaling', 'rotation', 'translation']
     "node_buckets": [16, 32, 64, 128, 256],
     "edge_buckets": [64, 128, 256, 512, 1024, 4096],
+    # visual branch (input_dataset.py:116-128, 271-285): load the page image
+    # next to the JSON, ratio-resize, and pad visual regions to the buckets
+    "image_input": False,
+    "resize_min_dim": 600,
+    "resize_max_dim": 1024,
+    "assign_visual_features_to_nodes": True,
+    "assign_visual_features_to_edges": False,
+    "visual_points_bucket": 16,      # pad region point counts to this
 }
 
 
@@ -98,7 +106,56 @@ class InputGNN:
             return None
         return graph
 
-    def prepare_example(self, graph: dict, training: bool) -> Optional[dict]:
+    def _visual_example(self, graph: dict, json_path: str,
+                        max_nodes: int, max_edges: int) -> dict:
+        """Image + padded visual regions for one example
+        (input_dataset.py:271-285 + misc.py:249-269 contract). Regions are
+        scaled into the resized image frame; the image pads to a static
+        resize_max_dim square so XLA sees one shape."""
+        from citlab_as_tpu.ops.image_utils import resize_image_ratio
+        from citlab_as_tpu.utils.io import get_img_from_json_path, load_image
+
+        image = load_image(get_img_from_json_path(json_path), mode="L")
+        orig_h, orig_w = image.shape[:2]
+        resized, (th, tw) = resize_image_ratio(
+            np.asarray(image, np.float32), self.params["resize_min_dim"],
+            self.params["resize_max_dim"], pad_to_max_dimension=True)
+        resized = np.asarray(resized, np.float32)
+        if resized.max() > 1.5:
+            resized = resized / 255.0
+        out = {"image": resized[:, :, None],
+               "image_shape": np.asarray([th, tw], np.int32)}
+        sx, sy = tw / orig_w, th / orig_h
+        p_max = int(self.params["visual_points_bucket"])
+
+        def pack(regions, num_points, max_items):
+            packed = np.zeros((max_items, 2, p_max), np.float32)
+            counts = np.zeros((max_items,), np.int32)
+            for i, region in enumerate(regions):
+                arr = np.asarray(region, np.float32)[:, :p_max]
+                packed[i, 0, :arr.shape[1]] = arr[0] * sx
+                packed[i, 1, :arr.shape[1]] = arr[1] * sy
+                counts[i] = min(int(num_points[i]), p_max)
+            return packed, counts
+
+        if (self.params["assign_visual_features_to_nodes"]
+                and "visual_regions_nodes" in graph):
+            packed, counts = pack(graph["visual_regions_nodes"],
+                                  graph["num_points_visual_regions_nodes"],
+                                  max_nodes)
+            out["visual_regions_nodes"] = packed
+            out["num_points_visual_regions_nodes"] = counts
+        if (self.params["assign_visual_features_to_edges"]
+                and "visual_regions_edges" in graph):
+            packed, counts = pack(graph["visual_regions_edges"],
+                                  graph["num_points_visual_regions_edges"],
+                                  max_edges)
+            out["visual_regions_edges"] = packed
+            out["num_points_visual_regions_edges"] = counts
+        return out
+
+    def prepare_example(self, graph: dict, training: bool,
+                        json_path: Optional[str] = None) -> Optional[dict]:
         """One graph JSON -> padded example dict."""
         n = int(graph["num_nodes"])
         node_features = np.asarray(graph["node_features"], np.float32)
@@ -133,8 +190,12 @@ class InputGNN:
 
         max_nodes = _bucket(n, self.params["node_buckets"])
         max_edges = _bucket(len(edges), self.params["edge_buckets"])
-        return pad_graph(n, node_features, edges, edge_features,
-                         rels, rel_gt, max_nodes, max_edges, max_rels)
+        example = pad_graph(n, node_features, edges, edge_features,
+                            rels, rel_gt, max_nodes, max_edges, max_rels)
+        if self.params["image_input"] and json_path is not None:
+            example.update(self._visual_example(
+                graph, json_path, max_nodes, max_edges))
+        return example
 
     # ------------------------------------------------------------------
     def train_batches(self, file_list: Sequence[str], batch_size: int,
@@ -146,10 +207,11 @@ class InputGNN:
         for _ in range(steps):
             examples = []
             while len(examples) < batch_size:
-                graph = self.load_graph(next(iterator))
+                path = next(iterator)
+                graph = self.load_graph(path)
                 if graph is None:
                     continue
-                ex = self.prepare_example(graph, training=True)
+                ex = self.prepare_example(graph, training=True, json_path=path)
                 if ex is not None:
                     examples.append(ex)
             yield self._stack_to_common_shape(examples)
@@ -160,7 +222,7 @@ class InputGNN:
             graph = self.load_graph(path)
             if graph is None:
                 continue
-            ex = self.prepare_example(graph, training=False)
+            ex = self.prepare_example(graph, training=False, json_path=path)
             if ex is not None:
                 yield batch_graphs([ex]), path, graph
 

@@ -229,3 +229,58 @@ def test_lav_relation(tmp_path):
     assert len(out["thresholds"]) == 10
     assert 0 <= out["accuracy"] <= 1
     assert "best_f1" in out
+
+
+def test_input_gnn_visual_batches(tmp_path):
+    """image_input: batches carry image/image_shape/visual regions padded to
+    the buckets (input_dataset.py:116-128 contract)."""
+    import json as json_mod
+    from PIL import Image
+    from citlab_as_tpu.train.input_pipeline import InputGNN
+
+    rng = np.random.RandomState(0)
+    n = 3
+    regions = [[[20 + 50 * i, 60 + 50 * i, 60 + 50 * i, 20 + 50 * i],
+                [20, 20, 100, 100]] for i in range(n)]
+    graph = {
+        "num_nodes": n,
+        "interacting_nodes": [[0, 1], [1, 2]],
+        "num_interacting_nodes": 2,
+        "node_features": rng.rand(n, 15).tolist(),
+        "edge_features": rng.rand(2, 2).tolist(),
+        "visual_regions_nodes": regions,
+        "num_points_visual_regions_nodes": [4] * n,
+        "gt_relations": [[1, 0, 1], [1, 1, 0]],
+        "gt_num_relations": 2,
+    }
+    (tmp_path / "json").mkdir()
+    jp = tmp_path / "json" / "g.json"
+    jp.write_text(json_mod.dumps(graph))
+    Image.fromarray(np.full((200, 240), 255, np.uint8)).save(tmp_path / "g.png")
+
+    inp = InputGNN({"image_input": True, "resize_min_dim": 64,
+                    "resize_max_dim": 96, "node_buckets": [8],
+                    "sample_num_relations_to_consider": 16}, seed=0)
+    batch = next(iter(inp.train_batches([str(jp)], batch_size=2, steps=1)))
+    assert batch["image"].shape == (2, 96, 96, 1)
+    assert batch["image_shape"].shape == (2, 2)
+    assert batch["visual_regions_nodes"].shape == (2, 8, 2, 16)
+    assert batch["num_points_visual_regions_nodes"].shape == (2, 8)
+    # regions scaled into the resized frame
+    th, tw = batch["image_shape"][0]
+    assert batch["visual_regions_nodes"].max() <= max(th, tw)
+
+    # the visual GraphRelation trains on these batches
+    import jax
+    import jax.numpy as jnp
+    from citlab_as_tpu.models.gnn.loss import relation_loss
+    from citlab_as_tpu.models.gnn.model import GraphRelation
+
+    model = GraphRelation(num_classes=2, image_input=True,
+                          visual_backbone="ARU_v1")
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init(jax.random.PRNGKey(0), jb)
+    logits = model.apply(variables, jb, train=True)
+    loss = relation_loss(logits, jb["relations_to_consider_gt"],
+                         jb["num_relations_to_consider"])
+    assert np.isfinite(float(loss))
