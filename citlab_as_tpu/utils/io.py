@@ -60,10 +60,14 @@ def get_img_from_json_path(json_path: str) -> str:
     base = re.sub(r"/json\w*/([-\w.]+)\.json$", r"/\1", json_path)
     if base.endswith(_IMG_ENDINGS) and os.path.isfile(base):
         return base
-    for ending in _IMG_ENDINGS:
-        candidate = re.sub(r"/json\w*/([-\w.]+)\.json$", r"/\1." + ending, json_path)
-        if os.path.isfile(candidate):
-            return candidate
+    stems = [base]
+    if base.endswith(".xml"):     # jsons named <page>.xml.json
+        stems.append(base[:-4])
+    for stem in stems:
+        for ending in _IMG_ENDINGS:
+            candidate = f"{stem}.{ending}"
+            if os.path.isfile(candidate):
+                return candidate
     raise IOError(f"No image file (tif, png, jpg) found for json {json_path}")
 
 

@@ -154,6 +154,11 @@ def main():
                         default="models_ckpt/separator")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", type=str, default="cpu")
+    parser.add_argument("--image_input", action="store_true", default=False,
+                        help="Train the visual 'v' variant: page images feed "
+                             "the ARU visual backbone.")
+    parser.add_argument("--resize_min_dim", type=int, default=288)
+    parser.add_argument("--resize_max_dim", type=int, default=384)
     args = parser.parse_args()
 
     import jax
@@ -165,6 +170,17 @@ def main():
     print(f"built {len(json_paths)} graph JSONs")
     split = max(1, int(0.9 * len(json_paths)))
 
+    input_params = {"sample_num_relations_to_consider": 300,
+                    "augmentation_config": ["scaling", "translation"]}
+    model = None
+    if args.image_input:
+        from citlab_as_tpu.models.gnn.model import GraphRelation
+        input_params.update({"image_input": True,
+                             "resize_min_dim": args.resize_min_dim,
+                             "resize_max_dim": args.resize_max_dim})
+        model = GraphRelation(num_classes=2, image_input=True,
+                              visual_backbone="ARU_v1")
+
     from citlab_as_tpu.train.trainer import TrainerGNN
     trainer = TrainerGNN(
         args.model_dir, json_paths[:split], json_paths[split:],
@@ -174,10 +190,10 @@ def main():
                "eval_every_n": 2,
                "best_export_metrics": ["f1"],
                "weight_decay": 1e-6},
-        input_params={"sample_num_relations_to_consider": 300,
-                      "augmentation_config": ["scaling", "translation"]},
+        input_params=input_params,
         optimizer_params={"learning_rate": 1e-3,
                           "final_epochs": max(2, args.epochs // 4)},
+        model=model,
         seed=args.seed)
     result = trainer.train()
     print("best metrics:", result["best_metrics"])
