@@ -51,10 +51,14 @@ def run_full_workflow(image_paths: Sequence[str],
         logger.info("stage %s: %.2fs", name, timings[name])
         return out
 
-    # 1. separator detection
+    # 1. separator detection (batched + dispatch-ahead when multi-page)
     sep_predictor = separator_predictor or SegmentationPredictor(separator_model_dir)
-    timed("separator", lambda: SeparatorNetPostProcessor(
-        list(image_paths), sep_predictor, fixed_height=1500).run())
+    sep_proc = SeparatorNetPostProcessor(
+        list(image_paths), sep_predictor, fixed_height=1500)
+    if len(image_paths) > 1 and hasattr(sep_predictor, "predict_batch"):
+        timed("separator", lambda: sep_proc.run_batched(batch_size=4))
+    else:
+        timed("separator", sep_proc.run)
 
     # The separator stage writes <page>.xml.xml; subsequent stages read those
     page_paths = [get_page_path(p) + ".xml" for p in image_paths]
