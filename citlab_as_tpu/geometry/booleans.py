@@ -6,10 +6,9 @@ at vertical separators with shapely. Shapely is not a dependency here;
 instead:
 
 - predicates (intersects/contains/area) are exact vector geometry;
-- region-valued booleans (polygon difference) go through 1-px rasterization
-  + component labeling + corner-exact contour tracing — the polygons in this
-  pipeline originate from pixel masks, so pixel-space booleans match their
-  provenance;
+- region-valued booleans (polygon difference / intersection area) are exact
+  slab-sweep clipping (geometry/clipping.py); a 1-px rasterization variant
+  remains as the property-test oracle;
 - polyline (baseline) splitting against a polygon is exact parametric
   clipping.
 
@@ -196,11 +195,19 @@ def _mask_to_polygons(mask: np.ndarray, origin: Tuple[int, int]) -> List[Rings]:
 
 
 def polygon_difference(a: Rings, b: Rings) -> List[Rings]:
-    """a minus b as a list of polygons (pixel-space; exterior + holes).
+    """a minus b as a list of polygons (exterior + holes).
 
     Mirrors _split_shapely_polygon (writer:116-124): the parts of ``a`` not
-    covered by ``b``.
-    """
+    covered by ``b``. Exact slab-sweep clipping (geometry/clipping.py) — the
+    GEOS-``difference`` equivalent; the pixel-space rasterization remains as
+    :func:`polygon_difference_raster` (test oracle / fallback)."""
+    from citlab_as_tpu.geometry.clipping import polygon_boolean
+    return polygon_boolean(a, b, "difference")
+
+
+def polygon_difference_raster(a: Rings, b: Rings) -> List[Rings]:
+    """Pixel-space a minus b (1-px rasterize + trace). Kept as the property
+    -test oracle for the exact clipper and as a fallback."""
     x0, y0, x1, y1 = _rings_bbox([a])
     shape = (y1 - y0 + 1, x1 - x0 + 1)
     mask_a = rasterize_rings(a, (x0, y0), shape)
@@ -209,15 +216,12 @@ def polygon_difference(a: Rings, b: Rings) -> List[Rings]:
 
 
 def polygon_intersection_area(a: Rings, b: Rings) -> float:
-    """Pixel-space intersection area (for the word->split argmax,
+    """Exact intersection area (for the word->split argmax,
     writer:189-194)."""
     if not polygons_intersect(a, b):
         return 0.0
-    x0, y0, x1, y1 = _rings_bbox([a, b])
-    shape = (y1 - y0 + 1, x1 - x0 + 1)
-    mask_a = rasterize_rings(a, (x0, y0), shape)
-    mask_b = rasterize_rings(b, (x0, y0), shape)
-    return float(np.count_nonzero(mask_a & mask_b))
+    from citlab_as_tpu.geometry.clipping import boolean_area
+    return boolean_area(a, b, "intersection")
 
 
 def polyline_intersects_polygon(points, rings: Rings) -> bool:

@@ -239,7 +239,27 @@ class RelationPredictor:
         for b in self.node_buckets:
             if n <= b:
                 return b
-        return self.node_buckets[-1]
+        # page exceeds the configured buckets: grow to the next power of two
+        # and remember it, so the compiled program is reused for subsequent
+        # oversized pages instead of (a) clamping and breaking pad_graph or
+        # (b) compiling per page
+        b = self.node_buckets[-1]
+        while b < n:
+            b *= 2
+        self.node_buckets.append(b)
+        logger.info("RelationPredictor: growing node bucket to %d for a "
+                    "%d-node page", b, n)
+        return b
+
+    @staticmethod
+    def _edge_bucket(e: int) -> int:
+        """Round the edge count up to a power of two (floor 16) so the jitted
+        predict compiles once per bucket instead of once per page (per-page
+        exact edge counts give nearly every page a unique shape)."""
+        b = 16
+        while b < e:
+            b *= 2
+        return b
 
     def _visual_inputs(self, graph: dict, image: np.ndarray,
                        max_nodes: int, max_edges: int) -> dict:
@@ -261,7 +281,9 @@ class RelationPredictor:
 
         def pack(regions, num_points, max_items):
             arr = [np.asarray(r, np.float32) for r in regions]  # [2, P_i]
-            max_p = max(a.shape[1] for a in arr)
+            # power-of-two point padding: the per-page max point count is
+            # another unique-shape recompile source otherwise
+            max_p = self._edge_bucket(max(a.shape[1] for a in arr))
             packed = np.zeros((1, max_items, 2, max_p), np.float32)
             counts = np.zeros((1, max_items), np.int32)
             sx, sy = tw / orig_w, th / orig_h
@@ -298,7 +320,7 @@ class RelationPredictor:
         rels, _, _ = build_full_relations(n, None)
 
         max_nodes = self._bucket(n)
-        max_edges = max(len(edges), 1)
+        max_edges = self._edge_bucket(max(len(edges), 1))
         g = pad_graph(n, node_features, edges, edge_features, rels, None,
                       max_nodes, max_edges, max_nodes * max_nodes)
         inputs = {k: jnp.asarray(v) for k, v in batch_graphs([g]).items()}

@@ -197,11 +197,15 @@ def _tf_to_flax_name(tf_name: str) -> Optional[str]:
     return None
 
 
-def import_arunet_weights(pb_path, variables) -> Tuple[Any, List[str], List[str]]:
+def import_arunet_weights(pb_path, variables,
+                          strict: bool = True) -> Tuple[Any, List[str], List[str]]:
     """Load Const weights from a frozen ARU-Net .pb into flax ``variables``.
 
     Returns (new_variables, matched names, unmatched tf names). Leaves
-    without a matching Const keep their existing values.
+    without a matching Const keep their existing values. TF consts that map
+    onto an ARU param name but mismatch its shape indicate a broken import
+    (the net would silently run with random weights): with ``strict`` they
+    raise instead of being skipped.
     """
     import jax
 
@@ -215,8 +219,22 @@ def import_arunet_weights(pb_path, variables) -> Tuple[Any, List[str], List[str]
         if flax_name is None:
             unmatched.append(tf_name)
             continue
+        if flax_name.endswith("deconv/kernel") and tensor.ndim == 4:
+            # tf.nn.conv2d_transpose kernels are [k, k, out_ch, in_ch] with
+            # gradient-of-conv semantics (== lax.conv_transpose
+            # transpose_kernel=True); flax ConvTranspose uses
+            # transpose_kernel=False with [k, k, in_ch, out_ch] and no
+            # spatial flip, so flip h/w and swap the channel axes
+            tensor = tensor[::-1, ::-1].transpose(0, 1, 3, 2)
         if flax_name in flax_named and np.shape(flax_named[flax_name]) == tensor.shape:
             mapped[flax_name] = tensor
+        elif strict:
+            want = (np.shape(flax_named[flax_name])
+                    if flax_name in flax_named else "<param absent>")
+            raise ValueError(
+                f"pb import: const {tf_name} maps to {flax_name} but shapes "
+                f"disagree (pb {tensor.shape} vs flax {want}) — the model "
+                f"config does not match the frozen graph")
         else:
             unmatched.append(tf_name)
 

@@ -122,3 +122,108 @@ def test_convert_polygon_small_holes_dropped():
     parts = convert_polygon_with_holes(poly, min_hole_area=1000)
     assert len(parts) == 1
     assert parts[0] == rect(0, 0, 100, 100)
+
+
+# ------------------------------------------------- exact clipper properties
+
+def _star_polygon(rng, cx, cy, r_min, r_max, n_min=5, n_max=10, integer=True):
+    """Random star-shaped simple polygon. Angular gaps are kept < 180 deg
+    (gap fractions from uniform(0.3, 1.0), n >= 5), which guarantees each
+    chord stays inside its convex angular wedge, hence simplicity."""
+    n = rng.randint(n_min, n_max + 1)
+    gaps = rng.uniform(0.3, 1.0, n)
+    angles = np.cumsum(gaps) / gaps.sum() * 2 * np.pi
+    radii = rng.uniform(r_min, r_max, n)
+    pts = [(cx + r * np.cos(a), cy + r * np.sin(a))
+           for a, r in zip(angles, radii)]
+    if integer:
+        pts = [(round(x), round(y)) for x, y in pts]
+        # integer rounding can create duplicates; drop them
+        out = []
+        for p in pts:
+            if not out or p != out[-1]:
+                out.append(p)
+        pts = out
+    return pts if len(pts) >= 3 else rect(cx - 5, cy - 5, cx + 5, cy + 5)
+
+
+def test_exact_difference_matches_raster_oracle_100_random():
+    """Exact slab-sweep difference vs the 1-px raster oracle: the two masks
+    may disagree only in a 1-px band around the result boundary (VERDICT
+    done-condition: <= 1 px Hausdorff between the methods)."""
+    import scipy.ndimage as ndi
+    from citlab_as_tpu.geometry.booleans import (
+        _rings_bbox, polygon_difference_raster)
+
+    rng = np.random.RandomState(42)
+    checked = 0
+    for case in range(100):
+        a = [_star_polygon(rng, 50, 50, 15, 45)]
+        b = [_star_polygon(rng, rng.randint(30, 70), rng.randint(30, 70),
+                           10, 35)]
+        exact = polygon_difference(a, b)
+        x0, y0, x1, y1 = _rings_bbox([a])
+        shape = (y1 - y0 + 1, x1 - x0 + 1)
+        mask_raster = rasterize_rings(a, (x0, y0), shape) \
+            & ~rasterize_rings(b, (x0, y0), shape)
+        mask_exact = np.zeros(shape, bool)
+        for poly in exact:
+            mask_exact ^= rasterize_rings(poly, (x0, y0), shape)
+        mismatch = mask_exact ^ mask_raster
+        if not mismatch.any():
+            checked += 1
+            continue
+        # every mismatching pixel must touch the boundary of the union
+        union = mask_exact | mask_raster
+        boundary = union & ~ndi.binary_erosion(union, np.ones((3, 3)))
+        band = ndi.binary_dilation(boundary, np.ones((3, 3)))
+        assert (mismatch & ~band).sum() == 0, f"case {case}: interior disagreement"
+        checked += 1
+    assert checked == 100
+
+
+def test_exact_boolean_self_consistency_random():
+    """area(A) == area(A-B) + area(A&B) and difference results are disjoint
+    from B, for random star polygons."""
+    from citlab_as_tpu.geometry.booleans import polygon_area
+    from citlab_as_tpu.geometry.clipping import boolean_area
+
+    rng = np.random.RandomState(7)
+    for _ in range(50):
+        a = [_star_polygon(rng, 0, 0, 10, 40, integer=False)]
+        b = [_star_polygon(rng, rng.uniform(-20, 20), rng.uniform(-20, 20),
+                           8, 30, integer=False)]
+        area_a = polygon_area(a)
+        diff = boolean_area(a, b, "difference")
+        inter = boolean_area(a, b, "intersection")
+        union = boolean_area(a, b, "union")
+        xor = boolean_area(a, b, "xor")
+        assert diff >= -1e-9 and inter >= -1e-9
+        np.testing.assert_allclose(diff + inter, area_a, atol=1e-6)
+        np.testing.assert_allclose(union - inter, xor, atol=1e-6)
+        # pieces of A-B are disjoint from B's interior
+        for poly in polygon_difference(a, b):
+            np.testing.assert_allclose(
+                boolean_area(poly, b, "intersection"), 0.0, atol=1e-6)
+
+
+def test_exact_difference_creates_hole():
+    outer = [rect(0, 0, 100, 100)]
+    inner = [rect(40, 40, 60, 60)]
+    out = polygon_difference(outer, inner)
+    assert len(out) == 1
+    assert len(out[0]) == 2  # exterior + hole
+    from citlab_as_tpu.geometry.booleans import polygon_area
+    np.testing.assert_allclose(polygon_area(out[0]), 10000 - 400)
+
+
+def test_exact_difference_shared_edges_degenerate():
+    # B shares A's right edge exactly (pixel-aligned degeneracy)
+    a = [rect(0, 0, 10, 10)]
+    b = [rect(5, 0, 10, 10)]
+    out = polygon_difference(a, b)
+    assert len(out) == 1
+    from citlab_as_tpu.geometry.booleans import polygon_area
+    np.testing.assert_allclose(polygon_area(out[0]), 50)
+    # identical polygons -> empty difference
+    assert polygon_difference(a, [list(a[0])]) == []

@@ -80,6 +80,70 @@ def test_tf_name_mapping():
     assert _tf_to_flax_name("some/unrelated/node") is None
 
 
+def test_deconv_kernel_conversion_matches_tf_semantics():
+    """flip(h,w)+swap(in,out) of a TF [k,k,out,in] deconv kernel reproduces
+    gradient-of-conv (tf.nn.conv2d_transpose) outputs through flax
+    ConvTranspose (transpose_kernel=False)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8), jnp.float32)
+    k_tf = jnp.asarray(rng.randn(3, 3, 4, 8), jnp.float32)  # [k,k,out,in]
+    y_tf = lax.conv_transpose(
+        x, k_tf, (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
+    k_flax = k_tf[::-1, ::-1].transpose(0, 1, 3, 2)
+    mod = nn.ConvTranspose(4, (3, 3), strides=(2, 2), padding="SAME")
+    y_flax = mod.apply({"params": {"kernel": k_flax, "bias": jnp.zeros(4)}}, x)
+    np.testing.assert_allclose(np.asarray(y_tf), np.asarray(y_flax), atol=1e-5)
+
+
+def test_import_deconv_weights_transposed():
+    """TF deconv consts ([k,k,out,in]) must land in the flax tree converted,
+    not be silently dropped by the shape guard."""
+    import jax
+    import jax.numpy as jnp
+    from citlab_as_tpu.models.arunet import ARUNet
+
+    model = ARUNet(n_classes=2, graph_params={
+        "graph": "RU", "featRoot": 4, "scale_space_num": 2, "res_depth": 1})
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))
+    flax_shape = np.asarray(
+        variables["params"]["featMapG"]["unet_up_0_deconv"]["deconv"]["kernel"]
+    ).shape  # (3, 3, in, out)
+    k, _, cin, cout = flax_shape[0], flax_shape[1], flax_shape[2], flax_shape[3]
+    w_tf = np.arange(k * k * cout * cin, dtype=np.float32).reshape(
+        k, k, cout, cin)
+    graph = _const_node("aru_net/featMapG/unet_up_0/deconv/weights", w_tf)
+
+    new_vars, matched, unmatched = import_arunet_weights(graph, variables)
+    assert "params/featMapG/unet_up_0_deconv/deconv/kernel" in matched
+    got = np.asarray(
+        new_vars["params"]["featMapG"]["unet_up_0_deconv"]["deconv"]["kernel"])
+    np.testing.assert_array_equal(got, w_tf[::-1, ::-1].transpose(0, 1, 3, 2))
+
+
+def test_import_strict_raises_on_shape_mismatch():
+    import jax
+    import jax.numpy as jnp
+    from citlab_as_tpu.models.arunet import ARUNet
+
+    model = ARUNet(n_classes=2, graph_params={
+        "graph": "RU", "featRoot": 4, "scale_space_num": 2, "res_depth": 1})
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))
+    wrong = np.zeros((5, 5, 1, 1), np.float32)
+    graph = _const_node("aru_net/featMapG/unet_down_0/conv1/weights", wrong)
+    with pytest.raises(ValueError, match="shapes disagree"):
+        import_arunet_weights(graph, variables)
+    # non-strict keeps the old skip behavior
+    _, matched, unmatched = import_arunet_weights(graph, variables, strict=False)
+    assert matched == []
+    assert "aru_net/featMapG/unet_down_0/conv1/weights" in unmatched
+
+
 def test_import_arunet_weights_end_to_end():
     import jax
     import jax.numpy as jnp
