@@ -63,28 +63,16 @@ def run_full_workflow(image_paths: Sequence[str],
     # The separator stage writes <page>.xml.xml; subsequent stages read those
     page_paths = [get_page_path(p) + ".xml" for p in image_paths]
 
-    # 2. heading detection (reads/writes the same pages)
+    # 2. heading detection, chained onto the separator-stage output pages
+    # (updated in place via page_paths + empty save_suffix); batched +
+    # dispatch-ahead, fused device path on accelerator backends
     if not skip_heading:
         heading_predictor = heading_predictor or SegmentationPredictor(heading_model_dir)
         proc = HeadingNetPostProcessor(
-            list(image_paths), heading_predictor, fixed_height=900)
-        # write onto the separator-stage output pages
-        def run_heading():
-            import numpy as np
-            from citlab_as_tpu.ops.resize import scale_image
-            from citlab_as_tpu.stages.separator_writer import RegionToPageWriter
-            from citlab_as_tpu.utils.io import load_image
-            for image_path, page_path in zip(image_paths, page_paths):
-                image = load_image(image_path, mode="L").astype(np.float32)
-                scaled, sc = scale_image(image, 900, 1.0)
-                net_out = np.asarray(heading_predictor(np.asarray(scaled) / 255.0))
-                net_out = np.asarray(net_out * 255, dtype=np.uint8)[..., 0] / 255.0
-                swt_img = proc.swt.distance_transform(image)
-                writer = RegionToPageWriter(page_path, image_path, 900, 1.0)
-                proc.classify_page(writer.page_object, writer.scaling_factor,
-                                   net_out, swt_img)
-                writer.save_page_xml(page_path)
-        timed("heading", run_heading)
+            list(image_paths), heading_predictor, fixed_height=900,
+            page_paths=page_paths, save_suffix="")
+        timed("heading", lambda: proc.run_batched(batch_size=4)
+              if len(image_paths) > 1 else proc.run())
 
     # 3. baseline clustering + 4. text regions
     def run_clustering():

@@ -1,5 +1,13 @@
 """Jittable geometry kernels over padded [N, P, 2] baseline tensors.
 
+STATUS: experimental, not wired into the pipeline. The production baseline
+clustering (stages/baseline_clustering.py) uses the host/C++ kernels because
+(a) their order-dependent running-minimum shortcut is part of the
+reference's observable semantics (bit-parity goal) while this kernel returns
+the true minimum, and (b) per-page baseline sets (~10^2 polys) are too small
+to amortize a device round trip. Kept for bulk offline analyses over many
+pages at once (vmap/pjit).
+
 Device counterparts of the host pairwise kernels (SURVEY step 1b): interline
 distances and regression angles as pure vectorized JAX — batched over pages
 with vmap, sharded over chips with pjit. One deliberate semantic difference,

@@ -103,6 +103,10 @@ class _ResBlock(nn.Module):
         x = _Conv(self.features, self.filter_size, None, self.dtype, name="conv1")(x)
         orig = x
         x = nn.relu(x)
+        if self.res_depth == 0:
+            # ARU_v1.py:216/ARU_cutted_v1.py:54: the residual add and final
+            # activation are guarded by res_depth > 0
+            return x
         for i in range(self.res_depth):
             act = self.act if i < self.res_depth - 1 else None
             x = _Conv(self.features, self.filter_size, act, self.dtype,
@@ -320,3 +324,51 @@ def pad_to_multiple(image: jnp.ndarray, multiple: int = 16):
     if ph or pw:
         image = jnp.pad(image, ((0, 0), (0, ph), (0, pw), (0, 0)))
     return image, (h, w)
+
+
+ARU_CUTTED_GRAPH_PARAMS: Dict[str, Any] = {
+    "mvn": True,              # reference default for the cutted extractor
+    "featRoot": 12,
+    "num_scales_att": 3,      # unused (no attention net), kept for parity
+    "scale_space_num": 6,
+    "res_depth": 0,
+    "filter_size": 3,
+    "pool_size": 2,
+    "activation_name": "relu",
+}
+
+
+class ARUCutted(nn.Module):
+    """Down-path-only ARU feature extractor (ARU_cutted_v1.py:7-73): per
+    scale one conv1 (+ optional residual chain) then 2x2 max-pool, feature
+    count doubling per scale; no attention pyramid, no up path. Used as the
+    GNN visual backbone when only multi-resolution down-path features are
+    needed — a full ARU forward would waste the entire up-path compute.
+
+    Returns ``(deepest_map, endpoints)`` with ``endpoints['res_block_i']``
+    holding each scale's pre-pool activation (the reference returns ``{}``;
+    exposing the per-scale maps lets MultiResolutionFeatureMaps select
+    intermediate resolutions).
+    """
+    graph_params: Optional[Dict[str, Any]] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        gp = dict(ARU_CUTTED_GRAPH_PARAMS)
+        if self.graph_params:
+            gp.update(self.graph_params)
+        act = _activation(gp["activation_name"])
+        if gp["mvn"]:
+            x = jax.vmap(per_image_standardization)(x)
+        feat = gp["featRoot"]
+        pool = gp["pool_size"]
+        end_points: Dict[str, jnp.ndarray] = {}
+        for layer in range(gp["scale_space_num"]):
+            x = _ResBlock(feat, gp["res_depth"], gp["filter_size"], act,
+                          self.dtype, name=f"res_block_{layer}")(x)
+            end_points[f"res_block_{layer}"] = x
+            if layer < gp["scale_space_num"] - 1:
+                x = _max_pool(x, pool)
+            feat *= pool
+        return x, end_points

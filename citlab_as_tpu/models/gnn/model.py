@@ -263,7 +263,10 @@ class GraphRelation(nn.Module):
             return self.visual_from_layers
         if self.visual_backbone == "inception_v3":
             return ("Mixed_5d", "Mixed_6e", "Mixed_7c")
-        # ARU endpoints: multi-resolution down-path features
+        if self.visual_backbone == "ARU_cutted_v1":
+            # per-scale pre-pool maps of the cutted extractor (1/4..1/16 res)
+            return ("res_block_2", "res_block_3", "res_block_4")
+        # full-ARU endpoints: multi-resolution down-path features
         return ("scale_0_unet_down_2_conv", "scale_0_unet_down_3_conv",
                 "scale_0_unet_down_4_conv")
 

@@ -145,9 +145,14 @@ class VisualFeatureExtractor(nn.Module):
         if self.backbone == "inception_v3":
             from citlab_as_tpu.models.inception_v3 import InceptionV3
             return InceptionV3(dtype=self.dtype, name="backbone")
-        if self.backbone in ("ARU_v1", "ARU_cutted_v1"):
+        if self.backbone == "ARU_v1":
             from citlab_as_tpu.models.arunet import ARUNet
             return ARUNet(n_classes=2, dtype=self.dtype, name="backbone")
+        if self.backbone == "ARU_cutted_v1":
+            # down-path-only extractor: ~half the FLOPs of a full ARU
+            # forward when only multi-resolution features are consumed
+            from citlab_as_tpu.models.arunet import ARUCutted
+            return ARUCutted(dtype=self.dtype, name="backbone")
         raise ValueError(f"Unknown visual backbone '{self.backbone}'")
 
     @nn.compact

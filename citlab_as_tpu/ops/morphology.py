@@ -15,7 +15,8 @@ from jax import lax
 
 
 def _window_reduce(image: jnp.ndarray, kw: int, kh: int, op, init) -> jnp.ndarray:
-    """Apply a (kh x kw) sliding-window reduction.
+    """Apply a (kh x kw) sliding-window reduction over the last two axes
+    (leading axes, e.g. batch, are windowed with size 1).
 
     cv2 anchors kernels at floor(k/2) and samples offsets ``[0..k-1] - anchor``
     for both erosion and dilation (verified against cv2 for even kernels), so
@@ -26,11 +27,12 @@ def _window_reduce(image: jnp.ndarray, kw: int, kh: int, op, init) -> jnp.ndarra
     def pads(k):
         return k // 2, k - 1 - k // 2
 
+    lead = img.ndim - 2
     return lax.reduce_window(
         img, init, op,
-        window_dimensions=(kh, kw),
-        window_strides=(1, 1),
-        padding=(pads(kh), pads(kw)),
+        window_dimensions=(1,) * lead + (kh, kw),
+        window_strides=(1,) * (lead + 2),
+        padding=((0, 0),) * lead + (pads(kh), pads(kw)),
     )
 
 

@@ -24,25 +24,49 @@ _EIGHT = np.ones((3, 3), dtype=np.int8)
 class StrokeWidthDistanceTransform:
     """SWT feature extractor: distance-transform image + cleaned CC stats."""
 
-    def __init__(self, dark_on_bright: bool = True, clean_ccs: int = 2):
+    # process-wide DT memo: the heading and GNN-feature stages both need the
+    # full-resolution distance transform of the same page image; the second
+    # computation is pure waste (~140 ms/page). Keyed by caller-supplied
+    # cache_key (image path) + polarity; bounded LRU.
+    _DT_CACHE: "OrderedDict" = None
+    _DT_CACHE_MAX = 16
+
+    def __init__(self, dark_on_bright: bool = True, clean_ccs: int = 2,
+                 on_device: bool = False):
         self._dark_on_bright = dark_on_bright
         self._clean_ccs = clean_ccs
+        self._on_device = on_device
+        if StrokeWidthDistanceTransform._DT_CACHE is None:
+            from collections import OrderedDict
+            StrokeWidthDistanceTransform._DT_CACHE = OrderedDict()
 
     # ---------------- device path ----------------
-    def distance_transform(self, image: np.ndarray) -> np.ndarray:
+    def distance_transform(self, image: np.ndarray,
+                           cache_key: str = None) -> np.ndarray:
         """Grayscale image -> uint8 distance-transform image (swt:18-24).
         Values are clipped at 255 rather than wrapped (deviation from the
-        reference's bare uint8 cast, which overflows on large blank areas)."""
+        reference's bare uint8 cast, which overflows on large blank areas).
+        ``cache_key`` (e.g. the image path) memoizes the result across
+        pipeline stages."""
         import jax
+
+        cache = StrokeWidthDistanceTransform._DT_CACHE
+        key = (cache_key, self._dark_on_bright) if cache_key else None
+        if key is not None and key in cache:
+            cache.move_to_end(key)
+            return cache[key]
 
         img = np.asarray(image)
         if img.ndim == 3:
             img = img[..., 0]
         if self._dark_on_bright:
             img = 255 - img.astype(np.int32)
-        if jax.default_backend() == "cpu":
-            # host fast path: scipy's C blur/EDT beats tracing the device
-            # kernels by ~30x when the active backend is the CPU anyway
+        if not self._on_device or jax.default_backend() == "cpu":
+            # host fast path: the DT's only consumers are host-side per-crop
+            # CC analyses (scipy label), so the full-res result must land on
+            # the host either way; scipy's C blur/EDT avoids the full-res
+            # upload+download round trip entirely (the device variant remains
+            # available via on_device=True for device-resident consumers)
             from citlab_as_tpu.ops.binarize import otsu_binarize_host
             _, binary = otsu_binarize_host(img.astype(np.float32), blur_ksize=5)
             dist = ndi.distance_transform_edt(binary != 0)
@@ -51,7 +75,12 @@ class StrokeWidthDistanceTransform:
             _, binary = otsu_binarize(jnp.asarray(img.astype(np.float32)),
                                       blur_ksize=5)
             dist = np.asarray(distance_transform_edt(binary, cap=255.0))
-        return dist.astype(np.uint8)
+        out = dist.astype(np.uint8)
+        if key is not None:
+            cache[key] = out
+            while len(cache) > StrokeWidthDistanceTransform._DT_CACHE_MAX:
+                cache.popitem(last=False)
+        return out
 
     def distance_transform_from_file(self, img_file: str) -> np.ndarray:
         from citlab_as_tpu.utils.io import load_image

@@ -117,7 +117,7 @@ def get_textline_stroke_widths_heights(page_path, text_lines,
         if img_path is None:
             img_path = get_img_from_page_path(page_path)
         image = load_image(img_path, mode="L")
-    swt_img = swt.distance_transform(image)
+    swt_img = swt.distance_transform(image, cache_key=img_path)
     stroke_widths, heights = {}, {}
     for text_line in text_lines:
         pts = np.asarray(text_line.surr_p.points_list, dtype=np.int32)

@@ -35,6 +35,34 @@ DEFAULT_THRESHOLDS = {"net_thresh": 1.0, "stroke_width_thresh": 1.0,
                       "text_height_thresh": 0.9, "sw_th_thresh": 0.9}
 
 
+def make_fused_heading_fn(model):
+    """Device pipeline: original uint8 pages -> quantized uint8 heading
+    probability map (channel 0), fused resize + ARU forward + quantize in one
+    jit. The uint8 map is what the host classifier consumes (it divides by
+    255 again, heading:247-270), so reading back 1 byte/px instead of the
+    f32 multi-channel probabilities is lossless AND 8x smaller."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("out_h", "out_w", "pad_multiple"))
+    def fused(variables, img_u8, out_h: int, out_w: int,
+              pad_multiple: int = 64):
+        x = img_u8.astype(jnp.float32)
+        if (out_h, out_w) != x.shape[1:]:
+            x = jax.image.resize(x, (x.shape[0], out_h, out_w),
+                                 method="linear", antialias=True)
+        ph = -out_h % pad_multiple
+        pw = -out_w % pad_multiple
+        net_in = jnp.pad(x, ((0, 0), (0, ph), (0, pw)))[..., None] / 255.0
+        logits, _ = model.apply(variables, net_in)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs0 = probs[:, :out_h, :out_w, 0]
+        return (probs0.astype(jnp.float32) * 255.0).astype(jnp.uint8)
+
+    return fused
+
+
 def scale_to_new_interval(data, old_min, old_max, new_min=0.0, new_max=1.0):
     """Affine remap of ``data`` from [old_min, old_max] to [new_min, new_max]
     (heading:51-64); identity when the old interval is degenerate."""
@@ -52,12 +80,23 @@ class HeadingNetPostProcessor:
                  weight_dict: Optional[Dict[str, float]] = None,
                  threshold: float = 0.4,
                  thresh_dict: Optional[Dict[str, float]] = None,
-                 text_line_percentage: float = 0.8):
+                 text_line_percentage: float = 0.8,
+                 page_paths: Optional[List[str]] = None,
+                 save_suffix: str = ".xml"):
+        """``page_paths``/``save_suffix`` let a pipeline driver chain this
+        stage onto another stage's output pages (e.g. the separator stage's
+        ``<page>.xml.xml``, updated in place with ``save_suffix=''``);
+        defaults preserve the standalone CLI contract
+        (``page/<name>.xml`` in, ``page/<name>.xml.xml`` out)."""
         if isinstance(image_list, str):
             from citlab_as_tpu.utils.io import load_list_file
             self.image_paths = load_list_file(image_list)
         else:
             self.image_paths = list(image_list)
+        if page_paths is not None and len(page_paths) != len(self.image_paths):
+            raise ValueError("page_paths must match image_list length")
+        self.page_paths = list(page_paths) if page_paths is not None else None
+        self.save_suffix = save_suffix
         self.predict_fn = predict_fn
         self.fixed_height = fixed_height
         self.scaling_factor = scaling_factor
@@ -66,6 +105,11 @@ class HeadingNetPostProcessor:
         self.threshold = threshold
         self.thresh_dict = dict(thresh_dict) if thresh_dict else dict(DEFAULT_THRESHOLDS)
         self.text_line_percentage = text_line_percentage
+
+    def _page_path_for(self, image_path: str) -> str:
+        if self.page_paths is not None:
+            return dict(zip(self.image_paths, self.page_paths))[image_path]
+        return get_page_path(image_path)
 
     # ------------------------------------------------------------------
     def get_net_prob_for_text_line(self, net_output, text_line, scaling_factor) -> float:
@@ -162,16 +206,17 @@ class HeadingNetPostProcessor:
                 net_output = np.asarray(net_output * 255, dtype=np.uint8)
                 net_output_post = net_output[:, :, 0] / 255.0
 
-            swt_feature_image = self.swt.distance_transform(image)
+            swt_feature_image = self.swt.distance_transform(image, cache_key=image_path)
 
-            page_path = get_page_path(image_path)
+            page_path = self._page_path_for(image_path)
             writer = RegionToPageWriter(
                 page_path, path_to_image=image_path,
                 fixed_height=self.fixed_height, scaling_factor=self.scaling_factor)
             self.classify_page(writer.page_object, writer.scaling_factor,
                                net_output_post, swt_feature_image)
-            logger.debug("Saving heading results to %s.xml", page_path)
-            writer.save_page_xml(page_path + ".xml")
+            logger.debug("Saving heading results to %s%s", page_path,
+                         self.save_suffix)
+            writer.save_page_xml(page_path + self.save_suffix)
             pages.append(writer.page_object)
         return pages
 
@@ -183,6 +228,11 @@ class HeadingNetPostProcessor:
         if (self.predict_fn is None or self.weight_dict["net"] == 0
                 or not hasattr(self.predict_fn, "predict_batch")):
             return self.run()
+        import jax
+        if (hasattr(self.predict_fn, "model")
+                and hasattr(self.predict_fn, "variables")
+                and jax.default_backend() != "cpu"):
+            return self.run_batched_fused(batch_size=batch_size)
         pages = []
         in_flight = None
 
@@ -193,15 +243,15 @@ class HeadingNetPostProcessor:
             for image_path, net_output, image in zip(chunk, outputs, images):
                 net_u8 = np.asarray(net_output * 255, dtype=np.uint8)
                 net_output_post = net_u8[:, :, 0] / 255.0
-                swt_feature_image = self.swt.distance_transform(image)
-                page_path = get_page_path(image_path)
+                swt_feature_image = self.swt.distance_transform(image, cache_key=image_path)
+                page_path = self._page_path_for(image_path)
                 writer = RegionToPageWriter(
                     page_path, path_to_image=image_path,
                     fixed_height=self.fixed_height,
                     scaling_factor=self.scaling_factor)
                 self.classify_page(writer.page_object, writer.scaling_factor,
                                    net_output_post, swt_feature_image)
-                writer.save_page_xml(page_path + ".xml")
+                writer.save_page_xml(page_path + self.save_suffix)
                 pages.append(writer.page_object)
 
         for start in range(0, len(self.image_paths), batch_size):
@@ -223,3 +273,65 @@ class HeadingNetPostProcessor:
         if in_flight is not None:
             drain(in_flight)
         return pages
+
+    def run_batched_fused(self, batch_size: int = 4) -> List:
+        """Fused device path (see :func:`make_fused_heading_fn`): uint8
+        originals up, quantized uint8 heading maps down; SWT + classification
+        on host overlap the next chunk's device dispatch."""
+        import jax.numpy as jnp
+        from citlab_as_tpu.ops.resize import get_scaling_factor
+
+        fused = getattr(self.predict_fn, "_fused_heading", None)
+        if fused is None:
+            fused = make_fused_heading_fn(self.predict_fn.model)
+            self.predict_fn._fused_heading = fused
+        variables = self.predict_fn.variables
+        pages_by_path = {}
+        in_flight = None
+
+        def drain(entry):
+            chunk, maps_u8, images = entry
+            maps_u8 = np.asarray(maps_u8)
+            for image_path, net_u8, image in zip(chunk, maps_u8, images):
+                net_output_post = net_u8 / 255.0
+                swt_feature_image = self.swt.distance_transform(image, cache_key=image_path)
+                page_path = self._page_path_for(image_path)
+                writer = RegionToPageWriter(
+                    page_path, path_to_image=image_path,
+                    fixed_height=self.fixed_height,
+                    scaling_factor=self.scaling_factor)
+                self.classify_page(writer.page_object, writer.scaling_factor,
+                                   net_output_post, swt_feature_image)
+                writer.save_page_xml(page_path + self.save_suffix)
+                pages_by_path[image_path] = writer.page_object
+
+        max_batch = min(batch_size,
+                        getattr(self.predict_fn, "MAX_DEVICE_BATCH", batch_size))
+        groups: List[tuple] = []
+        for image_path in self.image_paths:
+            image = np.asarray(load_image(image_path, mode="L"), np.uint8)
+            if groups and groups[-1][0][0].shape == image.shape \
+                    and len(groups[-1][0]) < max_batch:
+                groups[-1][0].append(image)
+                groups[-1][1].append(image_path)
+            else:
+                groups.append(([image], [image_path]))
+
+        for images, chunk in groups:
+            h0, w0 = images[0].shape
+            sc = get_scaling_factor(h0, w0, self.scaling_factor,
+                                    fixed_height=self.fixed_height)
+            out_h, out_w = (h0, w0) if sc == 1.0 else (int(h0 * sc), int(w0 * sc))
+            # pad remainder groups to the full batch -> one compile per shape
+            while len(images) < max_batch:
+                images = images + [images[-1]]
+            maps_u8 = fused(
+                variables, jnp.asarray(np.stack(images)), out_h=out_h,
+                out_w=out_w,
+                pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
+            if in_flight is not None:
+                drain(in_flight)
+            in_flight = (chunk, maps_u8, images)
+        if in_flight is not None:
+            drain(in_flight)
+        return [pages_by_path[p] for p in self.image_paths]

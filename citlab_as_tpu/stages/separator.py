@@ -55,6 +55,54 @@ def _separator_morphology_device(cleaned: jnp.ndarray, h_kernel: int,
     return horizontal.astype(jnp.uint8), vertical.astype(jnp.uint8)
 
 
+def make_fused_separator_fn(model):
+    """Whole-stage device pipeline: original uint8 pages in, bit-packed
+    separator masks out, in ONE jitted program.
+
+    TPU-first rationale: over a thin host<->device link the per-page data
+    movement dominates (resize round-trip + f32 probability readback +
+    binary re-upload cost ~28 MB/page); fusing resize -> ARU forward ->
+    quantize -> threshold -> CC filter -> h/v morphology on device and
+    reading back 1-bit masks cuts it to ~2 MB/page. All crops are static
+    (pages are grouped by identical original shape), so the result is
+    bit-identical to the per-page path.
+    """
+    @partial(jax.jit, static_argnames=(
+        "out_h", "out_w", "h_kernel", "v_kernel", "noise_kernel", "threshold",
+        "pad_multiple"))
+    def fused(variables, img_u8, out_h: int, out_w: int, h_kernel: int,
+              v_kernel: int, noise_kernel: int, threshold: float,
+              pad_multiple: int = 64):
+        x = img_u8.astype(jnp.float32)                       # [B, H0, W0]
+        if (out_h, out_w) != x.shape[1:]:
+            x = jax.image.resize(x, (x.shape[0], out_h, out_w),
+                                 method="linear", antialias=True)
+        ph = -out_h % pad_multiple
+        pw = -out_w % pad_multiple
+        net_in = jnp.pad(x, ((0, 0), (0, ph), (0, pw)))[..., None] / 255.0
+        logits, _ = model.apply(variables, net_in)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs0 = probs[:, :out_h, :out_w, 0]
+        # quantize-then-threshold replicates the reference's uint8 round trip
+        net_u8 = (probs0.astype(jnp.float32) * 255.0).astype(jnp.uint8)
+        binary = jnp.where(net_u8.astype(jnp.float32) > threshold * 255.0,
+                           255.0, 0.0)
+        cleaned = jax.vmap(
+            lambda b: remove_small_components(b, jnp.int32(100)))(binary)
+        horizontal, vertical = _separator_morphology_device(
+            cleaned.astype(jnp.float32), h_kernel, v_kernel, noise_kernel)
+        return (jnp.packbits(horizontal > 0, axis=-1),
+                jnp.packbits(vertical > 0, axis=-1))
+
+    return fused
+
+
+def unpack_mask_bits(packed: np.ndarray, width: int) -> np.ndarray:
+    """[H, ceil(W/8)] uint8 bit rows -> [H, W] {0, 255} uint8 mask."""
+    bits = np.unpackbits(np.asarray(packed), axis=-1, count=width)
+    return (bits * 255).astype(np.uint8)
+
+
 def _remove_small_components_host(binary: np.ndarray,
                                   min_size: int) -> np.ndarray:
     """scipy twin of ops.connected_components.remove_small_components for
@@ -193,6 +241,13 @@ class SeparatorNetPostProcessor:
         writing overlap the device compute."""
         if not hasattr(self.predict_fn, "predict_batch"):
             return self.run()
+        # accelerator backends route to the fused whole-stage device pipeline
+        # (identical results); on CPU the device CC labeling is slower than
+        # the scipy path, so the classic per-stage path stays the default
+        if (hasattr(self.predict_fn, "model")
+                and hasattr(self.predict_fn, "variables")
+                and jax.default_backend() != "cpu"):
+            return self.run_batched_fused(batch_size=batch_size)
         pages = []
         in_flight = None   # (chunk_paths, outputs, scales) awaiting host work
 
@@ -229,3 +284,75 @@ class SeparatorNetPostProcessor:
         if in_flight is not None:
             drain(in_flight)
         return pages
+
+    def run_batched_fused(self, batch_size: int = 4) -> List:
+        """Fully fused device path (see :func:`make_fused_separator_fn`):
+        uint8 originals up, bit-packed h/v masks down, one jit dispatch per
+        same-shape page group, two-deep dispatch-ahead pipelining so contour
+        tracing and PAGE-XML writing overlap device compute."""
+        from citlab_as_tpu.ops.resize import get_scaling_factor
+
+        # cache the jitted closure on the predictor so repeated stage runs
+        # reuse the compiled programs
+        fused = getattr(self.predict_fn, "_fused_separator", None)
+        if fused is None:
+            fused = make_fused_separator_fn(self.predict_fn.model)
+            self.predict_fn._fused_separator = fused
+        variables = self.predict_fn.variables
+        pages_by_path = {}
+        in_flight = None   # (chunk_paths, device handles, out_w, scales)
+
+        def drain(entry):
+            chunk, h_packed, v_packed, out_w, scales = entry
+            h_packed = np.asarray(h_packed)   # materialize (device barrier)
+            v_packed = np.asarray(v_packed)
+            for i, (image_path, sc) in enumerate(zip(chunk, scales)):
+                masks = {
+                    "horizontal": unpack_mask_bits(h_packed[i], out_w),
+                    "vertical": unpack_mask_bits(v_packed[i], out_w),
+                }
+                polygons_dict = {}
+                for separator_type, mask in masks.items():
+                    polygons_dict.update(masks_to_polygons(mask, separator_type))
+                polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
+                pages_by_path[image_path] = self._write_page(
+                    image_path, polygons_dict)
+
+        # group consecutive same-original-shape pages (static shapes per jit)
+        max_batch = min(batch_size,
+                        getattr(self.predict_fn, "MAX_DEVICE_BATCH", batch_size))
+        groups: List[tuple] = []
+        for image_path in self.image_paths:
+            image = np.asarray(load_image(image_path, mode="L"), np.uint8)
+            if groups and groups[-1][0][0].shape == image.shape \
+                    and len(groups[-1][0]) < max_batch:
+                groups[-1][0].append(image)
+                groups[-1][1].append(image_path)
+            else:
+                groups.append(([image], [image_path]))
+
+        for images, chunk in groups:
+            h0, w0 = images[0].shape
+            sc = get_scaling_factor(h0, w0, self.scaling_factor,
+                                    fixed_height=self.fixed_height)
+            out_h, out_w = (h0, w0) if sc == 1.0 else (int(h0 * sc), int(w0 * sc))
+            h_kernel = max(1, int(15 * out_w / 1000))
+            v_kernel = max(1, int(30 * out_h / 1500))
+            noise_kernel = max(1, int(10 * out_w / 1000))
+            # pad remainder groups to the full batch (repeat last page) so a
+            # corpus compiles ONE program per page shape, not one per
+            # remainder size; padded outputs are dropped in drain()
+            while len(images) < max_batch:
+                images = images + [images[-1]]
+            batch = jnp.asarray(np.stack(images))
+            h_packed, v_packed = fused(
+                variables, batch, out_h=out_h, out_w=out_w, h_kernel=h_kernel,
+                v_kernel=v_kernel, noise_kernel=noise_kernel,
+                threshold=self.threshold,
+                pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
+            if in_flight is not None:
+                drain(in_flight)
+            in_flight = (chunk, h_packed, v_packed, out_w, [sc] * len(chunk))
+        if in_flight is not None:
+            drain(in_flight)
+        return [pages_by_path[p] for p in self.image_paths]

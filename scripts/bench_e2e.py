@@ -115,9 +115,11 @@ def main():
     head_pred = SegmentationPredictor(model_dir_or_none(args.heading_model_dir))
     gnn_pred = RelationPredictor(model_dir_or_none(args.gnn_model_dir))
 
-    # warm-up on one page so stage timings exclude XLA compiles
+    # warm-up over the SAME page set/batch structure so the timed run hits
+    # the fused per-batch-shape jit caches (a 1-page warm-up would compile
+    # different programs than the batched run)
     run_full_workflow(
-        image_paths[:1], out_dir=os.path.join(args.work_dir, "warm"),
+        image_paths, out_dir=os.path.join(args.work_dir, "warm"),
         separator_predictor=sep_pred, heading_predictor=head_pred,
         gnn_predictor=gnn_pred)
 

@@ -188,3 +188,89 @@ def test_heading_run_batched_matches_run(tmp_path):
         return out
 
     assert tags_for(True) == tags_for(False)
+
+
+@pytest.mark.slow
+def test_heading_run_batched_fused_matches_run(tmp_path):
+    """Fused device heading path (uint8 maps) == per-page run()."""
+    import os
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.stages.heading import HeadingNetPostProcessor
+
+    paths = []
+    for i in range(3):
+        img = np.full((120, 160), 255, np.uint8)
+        img[20:50, 20 + 10 * i:140] = 0
+        img[70:78, 20:140] = 0
+        p = tmp_path / f"hf{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+        line = f'''<TextLine id="tl_a">
+      <Coords points="20,18 140,18 140,52 20,52"/>
+      <Baseline points="20,50 140,50"/></TextLine>
+    <TextLine id="tl_b">
+      <Coords points="20,68 140,68 140,80 20,80"/>
+      <Baseline points="20,78 140,78"/></TextLine>'''
+        xml = f'''<?xml version="1.0" encoding="UTF-8"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Metadata><Creator>t</Creator><Created>x</Created><LastChange>x</LastChange></Metadata>
+  <Page imageFilename="hf{i}.png" imageWidth="160" imageHeight="120">
+    <TextRegion id="tr_1" type="paragraph">
+      <Coords points="10,10 150,10 150,110 10,110"/>
+{line}
+    </TextRegion>
+  </Page>
+</PcGts>'''
+        (tmp_path / "page").mkdir(exist_ok=True)
+        (tmp_path / "page" / f"hf{i}.xml").write_text(xml)
+
+    pred = SegmentationPredictor(model_dir=None, pad_multiple=32, seed=2)
+
+    def tags_for(fused):
+        proc = HeadingNetPostProcessor(paths, pred, fixed_height=None)
+        if fused:
+            proc.run_batched_fused(batch_size=2)
+        else:
+            proc.run()
+        out = {}
+        for i in range(3):
+            page = Page(str(tmp_path / "page" / f"hf{i}.xml.xml"))
+            out[i] = {tl.id: (tl.custom.get("structure") or {}).get("semantic_type")
+                      for tl in page.get_textlines()}
+            os.remove(str(tmp_path / "page" / f"hf{i}.xml.xml"))
+        return out
+
+    assert tags_for(True) == tags_for(False)
+
+
+def test_heading_page_paths_chaining(tmp_path):
+    """page_paths + save_suffix='' updates a prior stage's output in place."""
+    img = np.full((120, 160), 255, np.uint8)
+    img[20:50, 20:140] = 0
+    p = tmp_path / "hc.png"
+    Image.fromarray(img).save(p)
+    xml = '''<?xml version="1.0" encoding="UTF-8"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Metadata><Creator>t</Creator><Created>x</Created><LastChange>x</LastChange></Metadata>
+  <Page imageFilename="hc.png" imageWidth="160" imageHeight="120">
+    <TextRegion id="tr_1" type="paragraph">
+      <Coords points="10,10 150,10 150,110 10,110"/>
+      <TextLine id="tl_a">
+        <Coords points="20,18 140,18 140,52 20,52"/>
+        <Baseline points="20,50 140,50"/></TextLine>
+    </TextRegion>
+  </Page>
+</PcGts>'''
+    (tmp_path / "page").mkdir(exist_ok=True)
+    chained = tmp_path / "page" / "hc.xml.xml"   # a prior stage's output
+    chained.write_text(xml)
+
+    from citlab_as_tpu.stages.heading import HeadingNetPostProcessor
+    proc = HeadingNetPostProcessor(
+        [str(p)], predict_fn=None, fixed_height=None,
+        weight_dict={"net": 0.0, "stroke_width": 0.5, "text_height": 0.5},
+        page_paths=[str(chained)], save_suffix="")
+    proc.run()
+    # in-place update: no extra file, same path re-parses
+    assert not (tmp_path / "page" / "hc.xml.xml.xml").exists()
+    Page(str(chained))

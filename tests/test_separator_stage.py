@@ -190,3 +190,86 @@ def test_run_batched_pipelined_matches_run(tmp_path):
             s.points.to_string()
             for s in page.get_regions().get("SeparatorRegion", []))
         assert single == batched[i]
+
+
+@pytest.mark.slow
+def test_run_batched_fused_matches_run(tmp_path):
+    """The fully fused device pipeline (uint8 in, bit-packed masks out)
+    writes the same separator regions as the per-image run() path."""
+    import os
+    from PIL import Image
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.pagexml import Page
+    from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
+
+    paths = []
+    for i in range(3):
+        img = np.full((96, 128), 255, np.uint8)
+        img[8:88, 60 + i:64 + i] = 0
+        p = tmp_path / f"fz{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    pred = SegmentationPredictor(model_dir=None, pad_multiple=32, seed=1)
+
+    proc_a = SeparatorNetPostProcessor(paths, pred, fixed_height=None,
+                                       threshold=0.3)
+    proc_a.run_batched_fused(batch_size=2)
+    fused = {}
+    for i in range(3):
+        page = Page(str(tmp_path / "page" / f"fz{i}.xml.xml"))
+        fused[i] = sorted(
+            s.points.to_string()
+            for s in page.get_regions().get("SeparatorRegion", []))
+        os.remove(str(tmp_path / "page" / f"fz{i}.xml.xml"))
+
+    proc_b = SeparatorNetPostProcessor(paths, pred, fixed_height=None,
+                                       threshold=0.3)
+    proc_b.run()
+    for i in range(3):
+        page = Page(str(tmp_path / "page" / f"fz{i}.xml.xml"))
+        single = sorted(
+            s.points.to_string()
+            for s in page.get_regions().get("SeparatorRegion", []))
+        assert single == fused[i]
+
+
+@pytest.mark.slow
+def test_run_batched_fused_with_resize(tmp_path):
+    """Fused path with an actual on-device resize (fixed_height < original)
+    matches run(); mixed original shapes are grouped correctly."""
+    import os
+    from PIL import Image
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.pagexml import Page
+    from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
+
+    paths = []
+    shapes = [(128, 96), (128, 96), (144, 112)]
+    for i, (h, w) in enumerate(shapes):
+        img = np.full((h, w), 255, np.uint8)
+        img[8:h - 8, w // 2 - 2:w // 2 + 2] = 0
+        p = tmp_path / f"fr{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    pred = SegmentationPredictor(model_dir=None, pad_multiple=32, seed=1)
+
+    proc_a = SeparatorNetPostProcessor(paths, pred, fixed_height=96,
+                                       threshold=0.3)
+    proc_a.run_batched_fused(batch_size=3)
+    fused = {}
+    for i in range(3):
+        page = Page(str(tmp_path / "page" / f"fr{i}.xml.xml"))
+        fused[i] = sorted(
+            s.points.to_string()
+            for s in page.get_regions().get("SeparatorRegion", []))
+        os.remove(str(tmp_path / "page" / f"fr{i}.xml.xml"))
+
+    proc_b = SeparatorNetPostProcessor(paths, pred, fixed_height=96,
+                                       threshold=0.3)
+    proc_b.run()
+    for i in range(3):
+        page = Page(str(tmp_path / "page" / f"fr{i}.xml.xml"))
+        single = sorted(
+            s.points.to_string()
+            for s in page.get_regions().get("SeparatorRegion", []))
+        assert single == fused[i]

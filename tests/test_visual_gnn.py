@@ -225,3 +225,69 @@ def test_gnn_clustering_for_page_visual(tmp_path):
         str(json_path), pred, clustering_method="dbscan",
         page_path=str(tmp_path / "page" / "v.xml"))
     assert out is not None and os.path.exists(out)
+
+
+@pytest.mark.slow
+def test_aru_cutted_backbone():
+    """Distinct ARU_cutted_v1 (ARU_cutted_v1.py:7-73): down path only, mvn
+    standardization, featRoot 12 doubling per scale, no up path/logits."""
+    import jax
+    import jax.numpy as jnp
+    from citlab_as_tpu.models.arunet import ARUCutted
+    from citlab_as_tpu.models.backbones import get_backbone
+
+    model = get_backbone("ARU_cutted_v1")
+    assert isinstance(model, ARUCutted)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, endpoints = model.apply(variables, x)
+    # 6 scales, featRoot 12 doubling: res_block_i has 12 * 2^i channels at
+    # 64 / 2^i resolution
+    assert sorted(endpoints) == [f"res_block_{i}" for i in range(6)]
+    for i in range(6):
+        fm = endpoints[f"res_block_{i}"]
+        assert fm.shape == (1, 64 // 2 ** i, 64 // 2 ** i, 12 * 2 ** i)
+    assert out.shape == (1, 2, 2, 384)
+    # no up-path / logit params exist
+    names = jax.tree_util.tree_leaves_with_path(variables)
+    joined = ["/".join(str(p) for p in path) for path, _ in names]
+    assert not any("up" in n or "logit" in n or "att" in n for n in joined)
+    # parameter count is well below a full ARU forward's
+    n_params = sum(np.prod(np.shape(l))
+                   for _, l in jax.tree_util.tree_leaves_with_path(variables))
+    assert n_params > 0
+
+
+@pytest.mark.slow
+def test_graph_relation_with_cutted_backbone():
+    """GraphRelation(image_input, visual_backbone='ARU_cutted_v1') runs and
+    produces per-relation logits."""
+    import jax
+    import jax.numpy as jnp
+    from citlab_as_tpu.models.gnn.model import GraphRelation
+
+    rng = np.random.RandomState(0)
+    n = 3
+    node_feats = rng.rand(n, 7).astype(np.float32)
+    edges, efeats = correct_edges(
+        fully_connected_edges(n), rng.rand(6, 2).astype(np.float32), n)
+    rels, _, gts = build_full_relations(n, None)
+    g = pad_graph(n, node_feats, edges, efeats, rels, gts, n, len(edges), n * n)
+    batch = {k: jnp.asarray(v) for k, v in batch_graphs([g]).items()}
+    batch["image"] = jnp.zeros((1, 64, 64, 1))
+    batch["image_shape"] = jnp.asarray([[64, 64]])
+    batch["visual_regions_nodes"] = jnp.asarray(
+        rng.rand(1, n, 2, 4) * 64, jnp.float32)
+    batch["num_points_visual_regions_nodes"] = jnp.full((1, n), 4, jnp.int32)
+
+    model = GraphRelation(num_classes=2, image_input=True,
+                          visual_backbone="ARU_cutted_v1")
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    logits = model.apply(variables, batch)
+    assert logits.shape == (1, n * n, 2)
+    assert np.isfinite(np.asarray(logits)).all()
+    # the cutted backbone has no up-path parameters
+    names = ["/".join(str(p) for p in path) for path, _ in
+             jax.tree_util.tree_leaves_with_path(variables["params"])]
+    assert any("res_block" in nm for nm in names)
+    assert not any("unet_up" in nm for nm in names)
