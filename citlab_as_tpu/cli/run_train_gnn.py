@@ -29,6 +29,8 @@ def main(argv: Optional[Sequence[str]] = None):
     parser.add_argument("--schedule", type=str, default="final_decay",
                         choices=["decay", "final_decay", "warmup_final_decay"])
     parser.add_argument("--grad_accum_steps", type=int, default=1)
+    parser.add_argument("--export_curves", action="store_true", default=False,
+                        help="dump PR/ROC curve JSONs per eval epoch")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -58,6 +60,7 @@ def main(argv: Optional[Sequence[str]] = None):
             "ema_decay": args.ema_decay,
             "schedule_kind": args.schedule,
             "grad_accum_steps": args.grad_accum_steps,
+            "export_curves": args.export_curves,
         },
         input_params={
             "sample_num_relations_to_consider": args.sample_num_relations,

@@ -60,3 +60,42 @@ def relation_metrics(confidences: np.ndarray, targets: np.ndarray,
     except ImportError:
         pass
     return out
+
+
+def relation_curves(confidences: np.ndarray, targets: np.ndarray,
+                    num_relations: np.ndarray, num_thresholds: int = 201
+                    ) -> Dict[str, list]:
+    """Streaming PR + ROC curve points over the valid relations
+    (misc.py:550-638 semantics: tp/fp/tn/fn accumulated per evenly spaced
+    threshold bucket; here one histogram pass + cumulative sums).
+
+    Returns {thresholds, precision, recall, fpr, tpr} lists suitable for a
+    JSON dump per eval epoch."""
+    mask = np.arange(confidences.shape[1])[None, :] < \
+        np.asarray(num_relations)[:, None]
+    conf = np.clip(np.asarray(confidences)[mask], 0.0, 1.0)
+    gt = np.asarray(targets)[mask]
+
+    edges = np.linspace(0.0, 1.0, num_thresholds)
+    pos_hist, _ = np.histogram(conf[gt == 1], bins=num_thresholds - 1,
+                               range=(0.0, 1.0))
+    neg_hist, _ = np.histogram(conf[gt == 0], bins=num_thresholds - 1,
+                               range=(0.0, 1.0))
+    total_pos = float(pos_hist.sum())
+    total_neg = float(neg_hist.sum())
+    # tp(threshold t) = #positives with conf >= t  (suffix sums)
+    tp = np.concatenate([np.cumsum(pos_hist[::-1])[::-1], [0.0]])
+    fp = np.concatenate([np.cumsum(neg_hist[::-1])[::-1], [0.0]])
+    fn = total_pos - tp
+    tn = total_neg - fp
+    precision = tp / np.maximum(tp + fp, 1e-12)
+    recall = tp / np.maximum(tp + fn, 1e-12)
+    fpr = fp / np.maximum(fp + tn, 1e-12)
+    tpr = recall
+    return {"thresholds": edges.tolist(),
+            "precision": precision.tolist(),
+            "recall": recall.tolist(),
+            "fpr": fpr.tolist(),
+            "tpr": tpr.tolist(),
+            "num_positive": total_pos,
+            "num_negative": total_neg}

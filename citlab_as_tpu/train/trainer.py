@@ -40,6 +40,7 @@ DEFAULT_TRAINER_FLAGS: Dict[str, Any] = {
     "schedule_kind": "final_decay",
     "grad_accum_steps": 1,
     "num_classes": 2,
+    "export_curves": False,            # dump PR/ROC curve JSONs per eval
 }
 
 
@@ -110,8 +111,10 @@ class TrainerGNN:
         return jax.jit(train_step)
 
     # ------------------------------------------------------------------
-    def evaluate(self, variables) -> Dict[str, float]:
-        """Full-grid evaluation over the eval list (model_relation metrics)."""
+    def evaluate(self, variables, curves_path: str = None) -> Dict[str, float]:
+        """Full-grid evaluation over the eval list (model_relation metrics).
+        With ``curves_path``, additionally dumps streaming PR/ROC curve
+        points (misc.py:550-638 observability parity) as JSON."""
         confs_all, gts_all, nums_all = [], [], []
         predict = jax.jit(lambda v, b: jax.nn.softmax(
             self.model.apply(v, b), axis=-1)[..., 1])
@@ -129,8 +132,15 @@ class TrainerGNN:
             return np.concatenate([
                 np.pad(a, ((0, 0), (0, max_r - a.shape[1]))) for a in arrs])
 
-        return relation_metrics(
-            padcat(confs_all), padcat(gts_all), np.concatenate(nums_all))
+        conf, gt, num = (padcat(confs_all), padcat(gts_all),
+                         np.concatenate(nums_all))
+        if curves_path:
+            import json
+            from citlab_as_tpu.models.gnn.loss import relation_curves
+            os.makedirs(os.path.dirname(curves_path), exist_ok=True)
+            with open(curves_path, "w") as f:
+                json.dump(relation_curves(conf, gt, num), f)
+        return relation_metrics(conf, gt, num)
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, Any]:
@@ -169,7 +179,10 @@ class TrainerGNN:
             if (epoch + 1) % self.flags["eval_every_n"] == 0 and self.eval_list:
                 eval_params = state.get("ema", state["params"]) \
                     if self.flags["ema_decay"] > 0 else state["params"]
-                metrics = self.evaluate(eval_params)
+                curves_path = (os.path.join(
+                    self.model_dir, "curves", f"epoch_{epoch:04d}.json")
+                    if self.flags.get("export_curves") else None)
+                metrics = self.evaluate(eval_params, curves_path=curves_path)
                 record.update(metrics)
                 logger.info("epoch %d eval: %s", epoch, metrics)
 

@@ -24,17 +24,54 @@ DTYPE = jnp.bfloat16
 
 
 def timeit(fn, *args, iters=10):
+    def barrier(o):
+        # device-side gather of ONE element -> 2-byte transfer; a full
+        # np.asarray would download the whole activation and swamp the timing
+        return float(o.reshape(-1)[0])
+
     out = fn(*args)
-    _ = float(np.asarray(out).ravel()[0])   # compile + barrier
+    barrier(out)   # compile + barrier
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    _ = float(np.asarray(out).ravel()[0])
+    barrier(out)
     return (time.perf_counter() - t0) / iters
+
+
+LOOP = 20
+
+
+def timeit_fused(step, x0, iters=3):
+    """Time ``step`` chained LOOP times INSIDE one jit (lax.scan carrying the
+    activation) — one dispatch per measurement, so per-call tunnel latency
+    (~5-10 ms) cannot pollute per-op numbers."""
+    @jax.jit
+    def many(x):
+        def body(carry, _):
+            return step(carry), ()
+        y, _ = jax.lax.scan(body, x, None, length=LOOP)
+        return y
+
+    def barrier(o):
+        return float(o.reshape(-1)[0])
+
+    barrier(many(x0))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = many(x0)
+    barrier(out)
+    return (time.perf_counter() - t0) / (iters * LOOP)
 
 
 @partial(jax.jit, static_argnames=())
 def conv3x3(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y + b).astype(DTYPE)
+
+
+def conv3x3_step(x, w, b):
     y = jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
@@ -114,20 +151,37 @@ def main():
         ("scale3 192x128 c64", 192, 128, 64, 64, 1),
         ("scale4 96x64 c128", 96, 64, 128, 128, 1),
     ]
+    # calibrate: raw matmul peak (bf16) with the same in-jit loop
+    a = jnp.asarray(rng.randn(4096, 4096), DTYPE)
+    t_mm = timeit_fused(
+        lambda m: jnp.dot(m, a, preferred_element_type=jnp.float32
+                          ).astype(DTYPE), a)
+    print(f"matmul 4096^3: {t_mm*1e3:7.3f} ms "
+          f"({2*4096**3/t_mm/1e12:6.1f} TF/s peak-ish)")
+
     for label, h, w, cin, cout, f in shapes:
         x = jnp.asarray(rng.randn(B, h, w, cin), DTYPE)
         wk = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, DTYPE)
         bias = jnp.zeros((cout,), DTYPE)
-        t_conv = timeit(conv3x3, x, wk, bias)
+        t_conv = timeit_fused(lambda t: conv3x3_step(t, wk, bias), x)
         gflop = B * h * w * 9 * cin * cout * 2 / 1e9
         line = (f"{label}: conv {t_conv*1e3:7.3f} ms "
                 f"({gflop/t_conv/1e3:6.1f} TF/s)")
         if f > 1:
             wm = jnp.asarray(pack_kernel(np.asarray(wk, np.float32), f), DTYPE)
             bias_p = jnp.zeros((f * f * cout,), DTYPE)
-            packed = make_packed(f, cin, cout)
-            xs = x  # packed path consumes full-res layout and re-extracts
-            t_packed = timeit(packed, xs, wm, bias_p)
+
+            def packed_step(t):
+                p = extract_patches(t, f)
+                y = jnp.einsum("bhwk,ko->bhwo", p, wm,
+                               preferred_element_type=jnp.float32)
+                y = (y + bias_p).astype(DTYPE)
+                # unpack back to full res so the scan carry keeps one shape
+                bsz, hf, wf, _ = y.shape
+                y = y.reshape(bsz, hf, wf, f, f, cout)
+                y = y.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, h, w, cout)
+                return y
+            t_packed = timeit_fused(packed_step, x)
             line += (f" | packed f={f} {t_packed*1e3:7.3f} ms "
                      f"(speedup {t_conv/t_packed:4.2f}x)")
         print(line)

@@ -197,3 +197,51 @@ def test_relation_metrics():
     # masked-out relations ignored
     m2 = relation_metrics(conf, gt, np.array([2]))
     assert m2["accuracy"] == 1.0
+
+
+def test_relation_curves_consistent_with_sklearn():
+    """Streaming PR/ROC curve points (misc.py:550-638 parity) agree with
+    sklearn's exact curves at the bucket resolution."""
+    from citlab_as_tpu.models.gnn.loss import relation_curves
+
+    rng = np.random.RandomState(0)
+    conf = rng.rand(4, 50).astype(np.float32)
+    gt = (rng.rand(4, 50) > 0.6).astype(np.int32)
+    num = np.asarray([50, 30, 50, 10], np.int32)
+    curves = relation_curves(conf, gt, num, num_thresholds=101)
+    assert len(curves["thresholds"]) == 101
+    assert len(curves["precision"]) == 101
+    # threshold 0 -> everything positive: recall 1, fpr 1
+    assert curves["recall"][0] == 1.0
+    assert curves["fpr"][0] == 1.0
+    # threshold 1 (above max bucket) -> nothing positive
+    assert curves["recall"][-1] == 0.0 and curves["fpr"][-1] == 0.0
+    # monotone: recall and fpr non-increasing in threshold
+    assert all(a >= b for a, b in zip(curves["recall"], curves["recall"][1:]))
+    assert all(a >= b for a, b in zip(curves["fpr"], curves["fpr"][1:]))
+    # AUC from the curve matches sklearn ROC-AUC within bucket resolution
+    from sklearn.metrics import roc_auc_score
+    mask = np.arange(50)[None, :] < num[:, None]
+    auc_ref = roc_auc_score(gt[mask], conf[mask])
+    fpr = np.asarray(curves["fpr"])[::-1]
+    tpr = np.asarray(curves["tpr"])[::-1]
+    auc_curve = np.trapezoid(tpr, fpr)
+    assert abs(auc_curve - auc_ref) < 0.02
+
+
+def test_trainer_exports_curves(tmp_path):
+    """export_curves=True writes per-eval-epoch PR/ROC JSONs."""
+    import json
+    from citlab_as_tpu.train.trainer import TrainerGNN
+    from tests.test_training import _write_graph_jsons
+
+    jsons = _write_graph_jsons(tmp_path, n_graphs=3)
+    trainer = TrainerGNN(
+        str(tmp_path / "model"), jsons[:2], jsons[2:],
+        flags={"epochs": 1, "samples_per_epoch": 4, "batch_size": 2,
+               "export_curves": True})
+    trainer.train()
+    curves_file = tmp_path / "model" / "curves" / "epoch_0000.json"
+    assert curves_file.exists()
+    curves = json.loads(curves_file.read_text())
+    assert {"thresholds", "precision", "recall", "fpr", "tpr"} <= set(curves)
