@@ -30,7 +30,8 @@ def run_full_workflow(image_paths: Sequence[str],
                       timings: Optional[dict] = None,
                       separator_predictor=None,
                       heading_predictor=None,
-                      gnn_predictor=None) -> dict:
+                      gnn_predictor=None,
+                      batch_size: int = 7) -> dict:
     """Returns {'pages': [...], 'timings': {stage: seconds}}. Predictors may
     be injected directly (tests / custom models); otherwise they are loaded
     from the given model dirs (random-init when None)."""
@@ -56,7 +57,7 @@ def run_full_workflow(image_paths: Sequence[str],
     sep_proc = SeparatorNetPostProcessor(
         list(image_paths), sep_predictor, fixed_height=1500)
     if len(image_paths) > 1 and hasattr(sep_predictor, "predict_batch"):
-        timed("separator", lambda: sep_proc.run_batched(batch_size=4))
+        timed("separator", lambda: sep_proc.run_batched(batch_size=batch_size))
     else:
         timed("separator", sep_proc.run)
 
@@ -71,7 +72,7 @@ def run_full_workflow(image_paths: Sequence[str],
         proc = HeadingNetPostProcessor(
             list(image_paths), heading_predictor, fixed_height=900,
             page_paths=page_paths, save_suffix="")
-        timed("heading", lambda: proc.run_batched(batch_size=4)
+        timed("heading", lambda: proc.run_batched(batch_size=batch_size)
               if len(image_paths) > 1 else proc.run())
 
     # 3. baseline clustering + 4. text regions
@@ -87,18 +88,22 @@ def run_full_workflow(image_paths: Sequence[str],
 
     clustered = []
     if not skip_gnn:
-        # 5. GNN features + relation clustering
-        json_paths = timed("features", lambda: generate_feature_jsons(
-            page_paths, visual_regions=False, separators="bb",
-            image_paths=list(image_paths)))
+        # 5. GNN features + relation clustering; visual ('v') nets need the
+        # region polygons in the JSONs and the page image at predict time
         gnn_predictor = gnn_predictor or RelationPredictor(gnn_model_dir)
+        visual = bool(getattr(gnn_predictor, "image_input", False))
+        json_paths = timed("features", lambda: generate_feature_jsons(
+            page_paths, visual_regions=visual, separators="bb",
+            image_paths=list(image_paths)))
 
         def run_gnn():
-            for json_path, page_path in zip(json_paths, page_paths):
+            for json_path, page_path, image_path in zip(
+                    json_paths, page_paths, image_paths):
                 out = gnn_clustering_for_page(
                     json_path, gnn_predictor,
                     clustering_method=clustering_method,
-                    out_dir=out_dir, page_path=page_path)
+                    out_dir=out_dir, page_path=page_path,
+                    image_path=image_path)
                 clustered.append(out)
         timed("gnn_clustering", run_gnn)
 
@@ -115,13 +120,14 @@ def main(argv: Optional[Sequence[str]] = None):
     parser.add_argument("--out_dir", type=str, default="")
     parser.add_argument("--skip_heading", action="store_true", default=False)
     parser.add_argument("--skip_gnn", action="store_true", default=False)
+    parser.add_argument("--batch_size", type=int, default=7)
     args = parser.parse_args(argv)
 
     image_paths = load_list_file(args.path_to_image_list)
     result = run_full_workflow(
         image_paths, args.separator_model_dir, args.heading_model_dir,
         args.gnn_model_dir, args.clustering_method, args.out_dir,
-        args.skip_heading, args.skip_gnn)
+        args.skip_heading, args.skip_gnn, batch_size=args.batch_size)
     total = sum(result["timings"].values())
     logger.info("Workflow done: %d pages in %.2fs (%.2f pages/s)",
                 len(image_paths), total, len(image_paths) / max(total, 1e-9))

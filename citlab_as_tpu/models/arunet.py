@@ -70,6 +70,42 @@ def _conv_init(kh: int, kw: int, cin: int, cout: int):
     return nn.initializers.normal(stddev=stddev)
 
 
+# When True, 3x3 convs with <= 32 output channels route through the Pallas
+# packed-matmul kernel (ops/pallas/conv3x3.py) instead of XLA's conv, which
+# underfills the MXU at low channel counts (measured 2-8 TF/s vs ~110 TF/s
+# matmul peak on v5e). Same params, same math (f32 accumulation); results
+# agree with XLA to bf16 rounding. TPU-only — leave False on CPU backends.
+USE_MXU_CONV = False
+_MXU_CONV_COUT = (8, 16, 32)
+
+
+def set_mxu_conv(enabled: bool) -> None:
+    global USE_MXU_CONV
+    USE_MXU_CONV = bool(enabled)
+
+
+class _PallasConv(nn.Module):
+    """Param-tree-compatible stand-in for nn.Conv (same 'kernel'/'bias'
+    leaves) computing via the Pallas packed-matmul kernel."""
+    features: int
+    kernel_size: int
+    kernel_init: Any
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from citlab_as_tpu.ops.pallas.conv3x3 import conv3x3_mxu
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (self.kernel_size, self.kernel_size, cin, self.features))
+        bias = self.param("bias", nn.initializers.constant(0.1),
+                          (self.features,))
+        x = x.astype(self.dtype)
+        return conv3x3_mxu(x, kernel.astype(self.dtype),
+                           bias.astype(self.dtype))
+
+
 class _Conv(nn.Module):
     """conv2d of layers.py:191-258: SAME conv + bias(0.1) + activation."""
     features: int
@@ -80,12 +116,20 @@ class _Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
-        y = nn.Conv(
-            self.features, (self.kernel, self.kernel), padding="SAME",
-            kernel_init=_conv_init(self.kernel, self.kernel, cin, self.features),
-            bias_init=nn.initializers.constant(0.1),
-            dtype=self.dtype, name="conv",
-        )(x)
+        init = _conv_init(self.kernel, self.kernel, cin, self.features)
+        if (USE_MXU_CONV and self.kernel == 3
+                and self.features in _MXU_CONV_COUT and cin >= 8):
+            # cin >= 8: the packed reshape needs P*cin lanes to tile well;
+            # the 1-channel input conv is contraction-9 and cheap anyway
+            y = _PallasConv(self.features, self.kernel, init,
+                            dtype=self.dtype, name="conv")(x)
+        else:
+            y = nn.Conv(
+                self.features, (self.kernel, self.kernel), padding="SAME",
+                kernel_init=init,
+                bias_init=nn.initializers.constant(0.1),
+                dtype=self.dtype, name="conv",
+            )(x)
         return self.act(y) if self.act is not None else y
 
 

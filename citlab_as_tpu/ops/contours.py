@@ -84,7 +84,15 @@ def _chain_rings(edges) -> List[Tuple[Ring, int, float]]:
                 nxt = cands.pop(0)
             if not edges[ring[-1]]:
                 del edges[ring[-1]]
-            ring.append(nxt[0])
+            if nxt[1] == cur_dir:
+                # collinear continuation: extend the current run in place.
+                # Identical polygon as a point set (rasterio's polygonize
+                # also emits minimal rectilinear rings); keeps ring sizes
+                # O(corners) instead of O(perimeter), which the downstream
+                # geometry (clipping, XML coords) depends on for speed.
+                ring[-1] = nxt[0]
+            else:
+                ring.append(nxt[0])
             cur_dir = nxt[1]
         # signed area (shoelace)
         area = 0.0

@@ -340,7 +340,8 @@ def build_input_and_target(page_path: str,
                            external_data: Optional[list] = None,
                            sim_feat_extractor=None,
                            separators: str = "bb",
-                           image: Optional[np.ndarray] = None) -> Optional[dict]:
+                           image: Optional[np.ndarray] = None,
+                           img_path: Optional[str] = None) -> Optional[dict]:
     """Graph input + GT for one page (feature_generation.py:594-813).
     Returns a dict with the reference's JSON schema keys, or None when the
     page has < 2 usable regions."""
@@ -363,7 +364,7 @@ def build_input_and_target(page_path: str,
         return None
 
     stroke_widths, heights = get_textline_stroke_widths_heights(
-        page_path, text_lines, image=image)
+        page_path, text_lines, img_path=img_path, image=image)
     sw_max = max(stroke_widths.values()) if stroke_widths else 1.0
     th_max = max(heights.values()) if heights else 1.0
     sw_max = sw_max or 1.0
@@ -504,13 +505,15 @@ def generate_feature_jsons(page_paths: Sequence[str],
     for idx, page_path in enumerate(page_paths):
         logger.info("Processing... %s", page_path)
         image = None
+        img_path = None
         if image_paths is not None:
             from citlab_as_tpu.utils.io import load_image
-            image = load_image(image_paths[idx], mode="L")
+            img_path = image_paths[idx]
+            image = load_image(img_path, mode="L")
         out = build_input_and_target(
             page_path, interaction=interaction, visual_regions=visual_regions,
             external_data=external, sim_feat_extractor=sim_feat_extractor,
-            separators=separators, image=image)
+            separators=separators, image=image, img_path=img_path)
         if out is None:
             skipped.append(page_path)
             continue

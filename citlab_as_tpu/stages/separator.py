@@ -91,10 +91,23 @@ def make_fused_separator_fn(model):
             lambda b: remove_small_components(b, jnp.int32(100)))(binary)
         horizontal, vertical = _separator_morphology_device(
             cleaned.astype(jnp.float32), h_kernel, v_kernel, noise_kernel)
-        return (jnp.packbits(horizontal > 0, axis=-1),
-                jnp.packbits(vertical > 0, axis=-1))
+        return (pack_bits_device(horizontal > 0),
+                pack_bits_device(vertical > 0))
 
     return fused
+
+
+def pack_bits_device(mask: jnp.ndarray) -> jnp.ndarray:
+    """[..., W] bool -> [..., ceil(W/8)] uint8, MSB-first (np.unpackbits
+    compatible). jnp.packbits lowers to ~170 ms/batch gather code on TPU;
+    this weighted-sum formulation is a plain VPU reduction (~2 ms)."""
+    w = mask.shape[-1]
+    pad = -w % 8
+    if pad:
+        mask = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1) + [(0, pad)])
+    groups = mask.reshape(mask.shape[:-1] + ((w + pad) // 8, 8))
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.sum(groups.astype(jnp.int32) * weights, axis=-1).astype(jnp.uint8)
 
 
 def unpack_mask_bits(packed: np.ndarray, width: int) -> np.ndarray:
@@ -294,6 +307,7 @@ class SeparatorNetPostProcessor:
 
         # cache the jitted closure on the predictor so repeated stage runs
         # reuse the compiled programs
+        import time as _time
         fused = getattr(self.predict_fn, "_fused_separator", None)
         if fused is None:
             fused = make_fused_separator_fn(self.predict_fn.model)
@@ -301,12 +315,17 @@ class SeparatorNetPostProcessor:
         variables = self.predict_fn.variables
         pages_by_path = {}
         in_flight = None   # (chunk_paths, device handles, out_w, scales)
+        phase = {"load": 0.0, "dispatch": 0.0, "materialize": 0.0,
+                 "contours": 0.0, "write": 0.0}
 
         def drain(entry):
             chunk, h_packed, v_packed, out_w, scales = entry
+            t0 = _time.perf_counter()
             h_packed = np.asarray(h_packed)   # materialize (device barrier)
             v_packed = np.asarray(v_packed)
+            phase["materialize"] += _time.perf_counter() - t0
             for i, (image_path, sc) in enumerate(zip(chunk, scales)):
+                t0 = _time.perf_counter()
                 masks = {
                     "horizontal": unpack_mask_bits(h_packed[i], out_w),
                     "vertical": unpack_mask_bits(v_packed[i], out_w),
@@ -315,12 +334,16 @@ class SeparatorNetPostProcessor:
                 for separator_type, mask in masks.items():
                     polygons_dict.update(masks_to_polygons(mask, separator_type))
                 polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
+                phase["contours"] += _time.perf_counter() - t0
+                t0 = _time.perf_counter()
                 pages_by_path[image_path] = self._write_page(
                     image_path, polygons_dict)
+                phase["write"] += _time.perf_counter() - t0
 
         # group consecutive same-original-shape pages (static shapes per jit)
         max_batch = min(batch_size,
                         getattr(self.predict_fn, "MAX_DEVICE_BATCH", batch_size))
+        t0 = _time.perf_counter()
         groups: List[tuple] = []
         for image_path in self.image_paths:
             image = np.asarray(load_image(image_path, mode="L"), np.uint8)
@@ -330,8 +353,10 @@ class SeparatorNetPostProcessor:
                 groups[-1][1].append(image_path)
             else:
                 groups.append(([image], [image_path]))
+        phase["load"] += _time.perf_counter() - t0
 
         for images, chunk in groups:
+            t_disp = _time.perf_counter()
             h0, w0 = images[0].shape
             sc = get_scaling_factor(h0, w0, self.scaling_factor,
                                     fixed_height=self.fixed_height)
@@ -350,9 +375,12 @@ class SeparatorNetPostProcessor:
                 v_kernel=v_kernel, noise_kernel=noise_kernel,
                 threshold=self.threshold,
                 pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
+            phase["dispatch"] += _time.perf_counter() - t_disp
             if in_flight is not None:
                 drain(in_flight)
             in_flight = (chunk, h_packed, v_packed, out_w, [sc] * len(chunk))
         if in_flight is not None:
             drain(in_flight)
+        logger.info("separator fused phases (s): %s",
+                    {k: round(v, 3) for k, v in phase.items()})
         return [pages_by_path[p] for p in self.image_paths]
