@@ -1,27 +1,39 @@
-"""Pallas TPU kernel: 3x3 SAME conv as an x-packed im2col matmul.
+"""Pallas TPU kernel: 3x3 SAME conv as x-packed MXU matmuls.
 
-Why: XLA's conv lowering on v5e reaches only ~2-8 TF/s for the ARU-Net's
-low-channel blocks (8/16/32 channels fill 6-25% of the 128-lane MXU), while
-a plain matmul hits ~110 TF/s on the same chip. This kernel re-expresses
-the conv so the MXU sees full 128-lane matmuls:
+STATUS: experimental, NOT enabled in production (USE_MXU_CONV defaults to
+False). Measured on v5e (full ARU forward, batch 7 @ 1536x1024): 0.28x vs
+XLA's convs. The kernel itself is correct (exactness tests pass) but two
+costs erase the theoretical MXU win: (1) Mosaic does not support
+lane-regrouping shape casts or offset-mismatched lane concats in-kernel, so
+the [W, C] -> [G, P*C] packing must happen as XLA relayouts outside the
+kernel (~4.3 ms per scale-0 conv, more than half of XLA's entire conv
+time), and (2) the three row-shifted input views triple HBM read traffic.
+A competitive conv kernel here needs either Mosaic-level lane regrouping or
+a chain-level design that keeps whole residual blocks in packed layout —
+measured notes in the round's progress log. Kept as a tested building
+block + documentation of the measured hardware behavior.
 
-- pack P = 128/C_out output columns per lane row, so the output tile is
-  [rows, P*C_out = 128];
-- the needed inputs for one packed group are the (P+2)-column window of the
-  3 input rows -> an im2col patch of K = 3*(P+2)*C_in lanes, built with two
-  VMEM slices + concat per row offset (the overlap between adjacent groups
-  is exactly the first 2 columns of the next group);
-- one [R*G, K] @ [K, 128] matmul + bias + optional ReLU per tile.
+Original rationale: XLA's conv lowering on v5e reaches only ~2-8 TF/s for
+the ARU-Net's low-channel blocks (8/16/32 channels fill 6-25% of the
+128-lane MXU), while plain matmuls hit ~110 TF/s on the same chip; and an
+XLA-side im2col loses the win to the HBM round trip of the materialized
+patch matrix (scale-0 activations are ~176 MB at batch 7). This kernel
+packs P = 128/C_out output columns per lane row so the MXU sees
+[rows, 128] tiles, and consumes the patch pieces straight from VMEM:
 
-The dense patch matmul does (P+2)/P * 3 = up to 6x the conv's FLOPs
+- the wrapper pre-builds six non-overlapping VIEWS of the padded input
+  (3 row shifts x {main group columns [R, G, P*C], 2-column halo
+  [R, G, 2*C]}) with plain XLA slices/reshapes;
+- the kernel computes acc = sum of six matmuls against the matching row
+  slices of the packed weight matrix — no in-kernel concat or
+  lane-changing reshape (both unsupported by Mosaic), identical math;
+- bias add + optional ReLU fused; output leaves in packed [B, H, G, 128]
+  layout; a row-major XLA reshape ((g, p, co) -> (col, co)) restores NHWC.
+
+The dense packed weights do (P+2)/P * 3 = up to 6x the conv's FLOPs
 (P=16), but at full MXU utilization that is still a large net win for
 C_out <= 32. For C_out >= 64 XLA's conv is already near its plateau and
 this kernel is not used.
-
-Row halos are avoided by passing three row-shifted VIEWS of the padded
-input (XLA materializes them; ~3x input HBM traffic, negligible vs the
-matmul). The output leaves the kernel in packed [B, H, G, 128] layout and
-a plain XLA reshape (row-major: (g, p, co) -> (col, co)) restores NHWC.
 
 Exactness: identical linear map to lax.conv (same taps, f32 accumulation);
 parity tests in tests/test_pallas_conv.py.
@@ -43,17 +55,17 @@ LANES = 128
 def _pack_weights(w3: jnp.ndarray, p: int) -> jnp.ndarray:
     """[3, 3, Cin, Cout] -> [3*(P+2)*Cin, P*Cout] patch matmul matrix.
 
-    Row index (ky, j, c): patch row offset ky, patch column j (0..P+1,
-    covering original columns g*P + j - 1), input channel c. Column index
-    (p, co): packed output column p, output channel co. Entry =
-    w3[ky, j - p, c, co] when 0 <= j - p < 3 (output column g*P + p reads
-    original columns g*P + p - 1 .. g*P + p + 1 = patch cols p .. p + 2).
+    Row index (ky, j, c): row offset ky, patch column j (0..P+1, covering
+    original columns g*P + j - 1), input channel c. Column index (p, co).
+    Entry = w3[ky, j - p, c, co] when 0 <= j - p < 3 (output column g*P + p
+    reads original columns g*P + p - 1 .. g*P + p + 1 = patch cols p..p+2).
+    Per ky the rows split into the 'main' block (j < P) and the 2-column
+    'halo' block (j >= P) — the kernel consumes them as separate matmuls.
     """
     _, _, cin, cout = w3.shape
     rows = []
     for ky in range(3):
         for j in range(p + 2):
-            # [Cin, P*Cout] block for this (ky, j)
             cols = []
             for pp in range(p):
                 kx = j - pp
@@ -65,21 +77,29 @@ def _pack_weights(w3: jnp.ndarray, p: int) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=0)                    # [3(P+2)Cin, PCout]
 
 
-def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, b_ref, out_ref, *,
+def _conv_kernel(m0, h0, m1, h1, m2, h2, w_ref, b_ref, out_ref, *,
                  groups: int, p: int, cin: int, relu: bool):
-    r = xm_ref.shape[1]
+    """Six accumulated matmuls against row slices of the packed weights."""
+    r = m0.shape[1]
+    mk = p * cin            # main contraction per row offset
+    hk = 2 * cin            # halo contraction per row offset
+    stride = mk + hk
 
-    def patches_from(ref):
-        blocks = ref[0].reshape(r, groups + 1, p * cin)
-        return jnp.concatenate(
-            [blocks[:, :groups, :], blocks[:, 1:groups + 1, :2 * cin]],
-            axis=-1)                                        # [R, G, (P+2)Cin]
+    def mat(ref, k):
+        return ref[0].reshape(r * groups, k)
 
-    patches = jnp.concatenate(
-        [patches_from(xm_ref), patches_from(x0_ref), patches_from(xp_ref)],
-        axis=-1)                                            # [R, G, 3(P+2)Cin]
-    patches = patches.reshape(r * groups, 3 * (p + 2) * cin)
-    acc = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
+    acc = jnp.dot(mat(m0, mk), w_ref[0:mk],
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(mat(h0, hk), w_ref[mk:stride],
+                   preferred_element_type=jnp.float32)
+    acc += jnp.dot(mat(m1, mk), w_ref[stride:stride + mk],
+                   preferred_element_type=jnp.float32)
+    acc += jnp.dot(mat(h1, hk), w_ref[stride + mk:2 * stride],
+                   preferred_element_type=jnp.float32)
+    acc += jnp.dot(mat(m2, mk), w_ref[2 * stride:2 * stride + mk],
+                   preferred_element_type=jnp.float32)
+    acc += jnp.dot(mat(h2, hk), w_ref[2 * stride + mk:3 * stride],
+                   preferred_element_type=jnp.float32)
     acc = acc + b_ref[:].astype(jnp.float32)
     if relu:
         acc = jnp.maximum(acc, 0.0)
@@ -89,7 +109,7 @@ def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, b_ref, out_ref, *,
 @partial(jax.jit, static_argnames=("relu", "tile_rows"))
 def conv3x3_mxu(x: jnp.ndarray, w3: jnp.ndarray,
                 bias: Optional[jnp.ndarray] = None, relu: bool = False,
-                tile_rows: int = 8) -> jnp.ndarray:
+                tile_rows: int = 32) -> jnp.ndarray:
     """Exact SAME 3x3 stride-1 conv, NHWC, via the packed-matmul kernel.
 
     Requires 128 % C_out == 0 (C_out in {8, 16, 32, 64, 128}); intended for
@@ -105,10 +125,14 @@ def conv3x3_mxu(x: jnp.ndarray, w3: jnp.ndarray,
 
     dtype = x.dtype
     xpad = jnp.pad(x, ((0, 0), (1, 1 + hp - h), (1, wp - w - 1), (0, 0)))
-    # three row-shifted H-row views: original rows r-1, r, r+1
-    xm = jax.lax.slice_in_dim(xpad, 0, hp, axis=1)
-    x0 = jax.lax.slice_in_dim(xpad, 1, hp + 1, axis=1)
-    xp_ = jax.lax.slice_in_dim(xpad, 2, hp + 2, axis=1)
+
+    # per row shift ky: main groups [B, Hp, G, P*C] + 2-col halo [B, Hp, G, 2C]
+    mains, halos = [], []
+    for ky in range(3):
+        v = jax.lax.slice_in_dim(xpad, ky, ky + hp, axis=1)
+        v = v.reshape(b, hp, groups + 1, p * cin)
+        mains.append(v[:, :, :groups, :])
+        halos.append(v[:, :, 1:, :2 * cin])
 
     wmat = _pack_weights(w3.astype(dtype), p)               # [K, 128]
     if bias is None:
@@ -116,14 +140,18 @@ def conv3x3_mxu(x: jnp.ndarray, w3: jnp.ndarray,
     bias_packed = jnp.tile(bias.astype(dtype), p)[None, :]  # [1, 128]
 
     kernel = partial(_conv_kernel, groups=groups, p=p, cin=cin, relu=relu)
-    spec_x = pl.BlockSpec((1, tile_rows, wp, cin),
-                          lambda bi, i: (bi, i, 0, 0),
-                          memory_space=pltpu.VMEM)
+
+    def spec(last):
+        return pl.BlockSpec((1, tile_rows, groups, last),
+                            lambda bi, i: (bi, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
         grid=(b, hp // tile_rows),
-        in_specs=[spec_x, spec_x, spec_x,
+        in_specs=[spec(p * cin), spec(2 * cin), spec(p * cin),
+                  spec(2 * cin), spec(p * cin), spec(2 * cin),
                   pl.BlockSpec(wmat.shape, lambda bi, i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, LANES), lambda bi, i: (0, 0),
@@ -132,7 +160,8 @@ def conv3x3_mxu(x: jnp.ndarray, w3: jnp.ndarray,
                                lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, groups, LANES), dtype),
-    )(xm, x0, xp_, wmat, bias_packed)
+    )(mains[0], halos[0], mains[1], halos[1], mains[2], halos[2],
+      wmat, bias_packed)
 
     # packed (g, p, co) -> (col, co) is a row-major reshape; crop the pads
     y = out.reshape(b, hp, groups * p, cout)

@@ -159,7 +159,15 @@ def main():
                              "the ARU visual backbone.")
     parser.add_argument("--resize_min_dim", type=int, default=288)
     parser.add_argument("--resize_max_dim", type=int, default=384)
+    parser.add_argument("--visual_backbone", type=str, default="ARU_v1",
+                        choices=["ARU_v1", "ARU_cutted_v1", "inception_v3"])
+    parser.add_argument("--schedule", type=str, default="final_decay",
+                        choices=["decay", "final_decay", "warmup_final_decay"])
+    parser.add_argument("--learning_rate", type=float, default=1e-3)
     args = parser.parse_args()
+
+    import logging
+    logging.basicConfig(level=logging.INFO)
 
     import jax
     if args.platform:
@@ -179,7 +187,7 @@ def main():
                              "resize_min_dim": args.resize_min_dim,
                              "resize_max_dim": args.resize_max_dim})
         model = GraphRelation(num_classes=2, image_input=True,
-                              visual_backbone="ARU_v1")
+                              visual_backbone=args.visual_backbone)
 
     from citlab_as_tpu.train.trainer import TrainerGNN
     trainer = TrainerGNN(
@@ -189,9 +197,10 @@ def main():
                "batch_size": args.batch_size,
                "eval_every_n": 2,
                "best_export_metrics": ["f1"],
+               "schedule_kind": args.schedule,
                "weight_decay": 1e-6},
         input_params=input_params,
-        optimizer_params={"learning_rate": 1e-3,
+        optimizer_params={"learning_rate": args.learning_rate,
                           "final_epochs": max(2, args.epochs // 4)},
         model=model,
         seed=args.seed)

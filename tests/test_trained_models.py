@@ -441,3 +441,78 @@ def test_blind_e2e_hard_corpus_f1(tmp_path):
     bd_r, bd_p, bd_f = out["bd"]
     assert bd_f > 0.9, f"baseline-detection F1 {bd_f} too low"
     assert as_f > 0.9, f"hard-corpus AS F1 {as_f} too low (R={as_r}, P={as_p})"
+
+
+GNN_VISUAL_CKPT = os.path.join(REPO, "models_ckpt", "gnn_visual", "best", "f1")
+
+
+@pytest.mark.skipif(
+    not (_ckpt_exists(SEP_CKPT) and _ckpt_exists(HEAD_CKPT)
+         and os.path.isdir(GNN_VISUAL_CKPT)),
+    reason="needs separator/heading + visual GNN checkpoints")
+def test_blind_e2e_visual_gnn_f1(tmp_path):
+    """Blind e2e with the VISUAL 'v' relation net (image input through the
+    ARU visual backbone, graph_relation.py:84-172 parity): fresh
+    multi-article pages, GT ids stripped; RelationPredictor(image_input)
+    through run_full_workflow (visual-region feature JSONs + page images
+    reach the net)."""
+    import shutil
+    import sys
+    sys.path.insert(0, REPO)
+    from scripts.train_pipeline_gnn import make_article_page
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+    from citlab_as_tpu.cli.run_measure import main as measure_main
+    from citlab_as_tpu.inference import RelationPredictor
+    from citlab_as_tpu.pagexml import Page
+
+    work = str(tmp_path)
+    rng = np.random.RandomState(31)
+    img, page_path, n_articles = make_article_page(work, "v", rng)
+    assert n_articles >= 3
+
+    gt_dir = os.path.join(work, "gt", "page")
+    os.makedirs(gt_dir)
+    gt_path = os.path.join(gt_dir, "v.xml")
+    shutil.copy(page_path, gt_path)
+
+    page = Page(page_path)
+    tls = page.get_textlines()
+    for tl in tls:
+        tl.set_article_id(None)
+    page.set_textline_attr(tls)
+    page.write_page_xml(page_path)
+
+    gnn = RelationPredictor(
+        GNN_VISUAL_CKPT, image_input=True, visual_backbone="ARU_v1",
+        image_min_dimension=288, image_max_dimension=384)
+    result = run_full_workflow(
+        [img], separator_model_dir=SEP_CKPT, heading_model_dir=HEAD_CKPT,
+        gnn_predictor=gnn, clustering_method="dbscan",
+        out_dir=os.path.join(work, "out"))
+    gt_lst = os.path.join(work, "gt.lst")
+    hy_lst = os.path.join(work, "hy.lst")
+    open(gt_lst, "w").write(gt_path + "\n")
+    open(hy_lst, "w").write(result["clustered"][0] + "\n")
+    out = measure_main(["--path_to_gt_xml_lst", gt_lst,
+                        "--path_to_hy_xml_lst", hy_lst,
+                        "--min_tol", "10", "--max_tol", "30"])
+    as_r, as_p, as_f = out["as"]
+    assert as_f > 0.8, f"visual-GNN AS F1 {as_f} too low (R={as_r}, P={as_p})"
+
+    # guard against a degenerate (constant-output) net passing vacuously on
+    # pages whose DBSCAN regions are already article-pure: the confidence
+    # matrix must discriminate (same-article pairs high, spread present)
+    import glob
+    import json as _json
+    json_files = glob.glob(os.path.join(work, "json*", "*.json"))
+    assert json_files, "feature JSONs missing"
+    with open(json_files[0]) as f:
+        graph = _json.load(f)
+    from citlab_as_tpu.utils.io import load_image
+    confs = gnn.confidences(graph, image=np.asarray(
+        load_image(img, mode="L")))
+    n = int(graph["num_nodes"])
+    off_diag = confs[~np.eye(n, dtype=bool)]
+    assert float(off_diag.max() - off_diag.min()) > 0.2, \
+        f"confidences are near-constant (spread {off_diag.max() - off_diag.min():.3f})"
+    assert float(off_diag.max()) > 0.5, "no confident same-article pair"
