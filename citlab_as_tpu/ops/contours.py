@@ -117,8 +117,7 @@ def trace_contours(binary, labels=None) -> List[List[Ring]]:
     else:
         labels = np.asarray(labels)
 
-    edges = _boundary_edges(mask, labels)
-    rings = _chain_rings(edges)
+    rings = _chain_rings_fast(mask, labels)
 
     by_label: Dict[int, List[Tuple[Ring, float]]] = {}
     order: List[int] = []
@@ -143,3 +142,92 @@ def _ring_area(ring: Ring) -> float:
     for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
         area += x1 * y2 - x2 * y1
     return area / 2.0
+
+
+def _chain_rings_fast(mask: np.ndarray, labels: np.ndarray
+                      ) -> List[Tuple[Ring, int, float]]:
+    """Vectorized ring chaining: crack edges as arrays, successor assignment
+    via one sort + searchsorted (pinch corners resolved by the same
+    sharpest-left-turn rule as :func:`_chain_rings`), collinear runs skipped
+    with pointer doubling, then a Python walk over CORNER edges only. The
+    per-boundary-pixel dict work of the fallback chainer dominated the
+    separator stage (~50 ms/page); this is O(E log E) numpy + O(corners)
+    Python.
+    """
+    h, w = mask.shape
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = mask
+    core = padded[1:-1, 1:-1]
+    stride = w + 2
+
+    starts, ends, dirs, labs = [], [], [], []
+
+    def add(sel, s_dx, s_dy, e_dx, e_dy, d):
+        rs, cs = np.nonzero(sel)
+        starts.append((rs + s_dy) * stride + (cs + s_dx))
+        ends.append((rs + e_dy) * stride + (cs + e_dx))
+        dirs.append(np.full(rs.shape[0], d, np.int8))
+        labs.append(labels[rs, cs])
+
+    add(core & ~padded[:-2, 1:-1], 0, 0, 1, 0, 0)    # top: walk +x
+    add(core & ~padded[1:-1, 2:], 1, 0, 1, 1, 1)     # right: walk +y
+    add(core & ~padded[2:, 1:-1], 1, 1, 0, 1, 2)     # bottom: walk -x
+    add(core & ~padded[1:-1, :-2], 0, 1, 0, 0, 3)    # left: walk -y
+
+    S = np.concatenate(starts)
+    E = np.concatenate(ends)
+    D = np.concatenate(dirs).astype(np.int16)
+    L = np.concatenate(labs)
+    n = S.shape[0]
+    if n == 0:
+        return []
+
+    # successor: the edge starting where this one ends; at pinch corners
+    # (two candidates) take the sharpest left turn
+    order = np.argsort(S, kind="stable")
+    s_sorted = S[order]
+    lo = np.searchsorted(s_sorted, E, "left")
+    hi = np.searchsorted(s_sorted, E, "right")
+    succ = order[np.minimum(lo, n - 1)]
+    two = np.flatnonzero(hi - lo == 2)
+    if two.size:
+        c0 = order[lo[two]]
+        c1 = order[lo[two] + 1]
+        cur = D[two]
+        s0 = (D[c0] - cur + 1) % 4
+        s1 = (D[c1] - cur + 1) % 4
+        succ[two] = np.where(s0 <= s1, c0, c1)
+
+    pred = np.empty(n, np.int64)
+    pred[succ] = np.arange(n)
+    is_corner = D != D[pred]
+
+    # next-corner pointers: first successor whose direction differs
+    ptr = succ.copy()
+    done = D[ptr] != D
+    while True:
+        nd = np.flatnonzero(~done)
+        if nd.size == 0:
+            break
+        p = ptr[nd]
+        done[nd] = done[p]
+        ptr[nd] = ptr[p]
+
+    rings: List[Tuple[Ring, int, float]] = []
+    visited = np.zeros(n, dtype=bool)
+    for c0 in np.flatnonzero(is_corner):
+        if visited[c0]:
+            continue
+        chain = []
+        c = int(c0)
+        while not visited[c]:
+            visited[c] = True
+            chain.append(c)
+            c = int(ptr[c])
+        pts: Ring = [(int(S[c] % stride), int(S[c] // stride)) for c in chain]
+        pts.append(pts[0])
+        xs = np.asarray([p[0] for p in pts], np.float64)
+        ys = np.asarray([p[1] for p in pts], np.float64)
+        area = float(np.dot(xs[:-1], ys[1:]) - np.dot(xs[1:], ys[:-1])) / 2.0
+        rings.append((pts, int(L[c0]), area))
+    return rings
