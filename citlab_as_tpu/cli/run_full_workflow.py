@@ -110,6 +110,104 @@ def run_full_workflow(image_paths: Sequence[str],
     return {"pages": page_paths, "clustered": clustered, "timings": timings}
 
 
+def run_full_workflow_pipelined(image_paths: Sequence[str],
+                                separator_model_dir: Optional[str] = None,
+                                heading_model_dir: Optional[str] = None,
+                                gnn_model_dir: Optional[str] = None,
+                                clustering_method: str = "dbscan",
+                                out_dir: str = "",
+                                timings: Optional[dict] = None,
+                                separator_predictor=None,
+                                heading_predictor=None,
+                                gnn_predictor=None,
+                                batch_size: int = 7) -> dict:
+    """Wave-pipelined production driver (accelerator backends).
+
+    Per same-shape page group, BOTH fused device programs (separator and
+    heading — the heading forward depends only on the image, not on the
+    separator output) are enqueued before the previous group's host tail
+    runs, so EVERY host stage (contour tracing, page writing, SWT +
+    classification, DBSCAN baselines, text regions, feature generation,
+    GNN clustering) overlaps device compute. Steady-state throughput
+    approaches max(host, device) instead of their sum. File contracts and
+    results are identical to :func:`run_full_workflow` (per-chunk stage
+    order is preserved: separator write -> heading in place -> baselines ->
+    regions -> features -> GNN).
+    """
+    import time as _time
+
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return run_full_workflow(
+            image_paths, separator_model_dir, heading_model_dir,
+            gnn_model_dir, clustering_method, out_dir,
+            timings=timings, separator_predictor=separator_predictor,
+            heading_predictor=heading_predictor, gnn_predictor=gnn_predictor,
+            batch_size=batch_size)
+
+    from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
+    from citlab_as_tpu.stages.baseline_clustering import cluster_page
+    from citlab_as_tpu.stages.features import generate_feature_jsons
+    from citlab_as_tpu.stages.gnn_io import gnn_clustering_for_page
+    from citlab_as_tpu.stages.heading import HeadingNetPostProcessor
+    from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
+
+    timings = timings if timings is not None else {}
+    t_start = _time.time()
+
+    sep_predictor = separator_predictor or SegmentationPredictor(separator_model_dir)
+    heading_predictor = heading_predictor or SegmentationPredictor(heading_model_dir)
+    gnn_predictor = gnn_predictor or RelationPredictor(gnn_model_dir)
+    visual = bool(getattr(gnn_predictor, "image_input", False))
+
+    page_paths_all = [get_page_path(p) + ".xml" for p in image_paths]
+    sep_proc = SeparatorNetPostProcessor(
+        list(image_paths), sep_predictor, fixed_height=1500)
+    head_proc = HeadingNetPostProcessor(
+        list(image_paths), heading_predictor, fixed_height=900,
+        page_paths=page_paths_all, save_suffix="")
+
+    max_batch = min(batch_size,
+                    getattr(sep_predictor, "MAX_DEVICE_BATCH", batch_size))
+    clustered = []
+
+    def host_tail(entry):
+        sep_entry, head_entry, chunk = entry
+        sep_proc.fused_drain(sep_entry, {})
+        head_proc.fused_drain(head_entry, {})
+        page_paths = [get_page_path(p) + ".xml" for p in chunk]
+        for pp in page_paths:
+            cluster_page(pp)
+        from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
+        for pp in page_paths:
+            generate_text_regions_for_page(pp)
+        json_paths = generate_feature_jsons(
+            page_paths, visual_regions=visual, separators="bb",
+            image_paths=list(chunk))
+        for json_path, pp, ip in zip(json_paths, page_paths, chunk):
+            clustered.append(gnn_clustering_for_page(
+                json_path, gnn_predictor,
+                clustering_method=clustering_method,
+                out_dir=out_dir, page_path=pp, image_path=ip))
+
+    groups = SeparatorNetPostProcessor.group_by_shape(
+        list(image_paths), max_batch)
+    in_flight = None
+    for images, chunk in groups:
+        sep_entry = sep_proc.fused_dispatch(list(images), chunk, max_batch)
+        head_entry = head_proc.fused_dispatch(list(images), chunk, max_batch)
+        if in_flight is not None:
+            host_tail(in_flight)
+        in_flight = (sep_entry, head_entry, chunk)
+    if in_flight is not None:
+        host_tail(in_flight)
+
+    timings["total"] = timings.get("total", 0.0) + _time.time() - t_start
+    return {"pages": page_paths_all, "clustered": clustered,
+            "timings": timings}
+
+
 def main(argv: Optional[Sequence[str]] = None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--path_to_image_list", type=str, required=True)
@@ -121,13 +219,22 @@ def main(argv: Optional[Sequence[str]] = None):
     parser.add_argument("--skip_heading", action="store_true", default=False)
     parser.add_argument("--skip_gnn", action="store_true", default=False)
     parser.add_argument("--batch_size", type=int, default=7)
+    parser.add_argument("--pipelined", action="store_true", default=False,
+                        help="wave-pipelined driver: every host stage "
+                             "overlaps device compute (accelerator only)")
     args = parser.parse_args(argv)
 
     image_paths = load_list_file(args.path_to_image_list)
-    result = run_full_workflow(
-        image_paths, args.separator_model_dir, args.heading_model_dir,
-        args.gnn_model_dir, args.clustering_method, args.out_dir,
-        args.skip_heading, args.skip_gnn, batch_size=args.batch_size)
+    if args.pipelined and not args.skip_heading and not args.skip_gnn:
+        result = run_full_workflow_pipelined(
+            image_paths, args.separator_model_dir, args.heading_model_dir,
+            args.gnn_model_dir, args.clustering_method, args.out_dir,
+            batch_size=args.batch_size)
+    else:
+        result = run_full_workflow(
+            image_paths, args.separator_model_dir, args.heading_model_dir,
+            args.gnn_model_dir, args.clustering_method, args.out_dir,
+            args.skip_heading, args.skip_gnn, batch_size=args.batch_size)
     total = sum(result["timings"].values())
     logger.info("Workflow done: %d pages in %.2fs (%.2f pages/s)",
                 len(image_paths), total, len(image_paths) / max(total, 1e-9))

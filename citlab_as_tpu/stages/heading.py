@@ -274,10 +274,10 @@ class HeadingNetPostProcessor:
             drain(in_flight)
         return pages
 
-    def run_batched_fused(self, batch_size: int = 4) -> List:
-        """Fused device path (see :func:`make_fused_heading_fn`): uint8
-        originals up, quantized uint8 heading maps down; SWT + classification
-        on host overlap the next chunk's device dispatch."""
+    def fused_dispatch(self, images: List[np.ndarray], chunk: List[str],
+                       max_batch: int):
+        """Enqueue the fused heading forward for one same-shape page group
+        (async); returns the in-flight entry for :meth:`fused_drain`."""
         import jax.numpy as jnp
         from citlab_as_tpu.ops.resize import get_scaling_factor
 
@@ -285,53 +285,55 @@ class HeadingNetPostProcessor:
         if fused is None:
             fused = make_fused_heading_fn(self.predict_fn.model)
             self.predict_fn._fused_heading = fused
-        variables = self.predict_fn.variables
-        pages_by_path = {}
+        h0, w0 = images[0].shape
+        sc = get_scaling_factor(h0, w0, self.scaling_factor,
+                                fixed_height=self.fixed_height)
+        out_h, out_w = (h0, w0) if sc == 1.0 else (int(h0 * sc), int(w0 * sc))
+        orig = list(images)
+        while len(images) < max_batch:
+            images = images + [images[-1]]
+        maps_u8 = fused(
+            self.predict_fn.variables, jnp.asarray(np.stack(images)),
+            out_h=out_h, out_w=out_w,
+            pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
+        return (chunk, maps_u8, orig)
+
+    def fused_drain(self, entry, pages_by_path: dict) -> None:
+        """Materialize one group's heading maps; SWT + classification + XML
+        on host."""
+        chunk, maps_u8, images = entry
+        maps_u8 = np.asarray(maps_u8)
+        for image_path, net_u8, image in zip(chunk, maps_u8, images):
+            net_output_post = net_u8 / 255.0
+            swt_feature_image = self.swt.distance_transform(
+                image, cache_key=image_path)
+            page_path = self._page_path_for(image_path)
+            writer = RegionToPageWriter(
+                page_path, path_to_image=image_path,
+                fixed_height=self.fixed_height,
+                scaling_factor=self.scaling_factor)
+            self.classify_page(writer.page_object, writer.scaling_factor,
+                               net_output_post, swt_feature_image)
+            writer.save_page_xml(page_path + self.save_suffix)
+            pages_by_path[image_path] = writer.page_object
+
+    def run_batched_fused(self, batch_size: int = 4) -> List:
+        """Fused device path (see :func:`make_fused_heading_fn`): uint8
+        originals up, quantized uint8 heading maps down; SWT + classification
+        on host overlap the next chunk's device dispatch."""
+        from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
+
+        pages_by_path: dict = {}
         in_flight = None
-
-        def drain(entry):
-            chunk, maps_u8, images = entry
-            maps_u8 = np.asarray(maps_u8)
-            for image_path, net_u8, image in zip(chunk, maps_u8, images):
-                net_output_post = net_u8 / 255.0
-                swt_feature_image = self.swt.distance_transform(image, cache_key=image_path)
-                page_path = self._page_path_for(image_path)
-                writer = RegionToPageWriter(
-                    page_path, path_to_image=image_path,
-                    fixed_height=self.fixed_height,
-                    scaling_factor=self.scaling_factor)
-                self.classify_page(writer.page_object, writer.scaling_factor,
-                                   net_output_post, swt_feature_image)
-                writer.save_page_xml(page_path + self.save_suffix)
-                pages_by_path[image_path] = writer.page_object
-
         max_batch = min(batch_size,
                         getattr(self.predict_fn, "MAX_DEVICE_BATCH", batch_size))
-        groups: List[tuple] = []
-        for image_path in self.image_paths:
-            image = np.asarray(load_image(image_path, mode="L"), np.uint8)
-            if groups and groups[-1][0][0].shape == image.shape \
-                    and len(groups[-1][0]) < max_batch:
-                groups[-1][0].append(image)
-                groups[-1][1].append(image_path)
-            else:
-                groups.append(([image], [image_path]))
-
+        groups = SeparatorNetPostProcessor.group_by_shape(
+            self.image_paths, max_batch)
         for images, chunk in groups:
-            h0, w0 = images[0].shape
-            sc = get_scaling_factor(h0, w0, self.scaling_factor,
-                                    fixed_height=self.fixed_height)
-            out_h, out_w = (h0, w0) if sc == 1.0 else (int(h0 * sc), int(w0 * sc))
-            # pad remainder groups to the full batch -> one compile per shape
-            while len(images) < max_batch:
-                images = images + [images[-1]]
-            maps_u8 = fused(
-                variables, jnp.asarray(np.stack(images)), out_h=out_h,
-                out_w=out_w,
-                pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
+            entry = self.fused_dispatch(images, chunk, max_batch)
             if in_flight is not None:
-                drain(in_flight)
-            in_flight = (chunk, maps_u8, images)
+                self.fused_drain(in_flight, pages_by_path)
+            in_flight = entry
         if in_flight is not None:
-            drain(in_flight)
+            self.fused_drain(in_flight, pages_by_path)
         return [pages_by_path[p] for p in self.image_paths]

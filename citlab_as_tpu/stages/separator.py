@@ -298,89 +298,107 @@ class SeparatorNetPostProcessor:
             drain(in_flight)
         return pages
 
+    def fused_dispatch(self, images: List[np.ndarray], chunk: List[str],
+                       max_batch: int):
+        """Enqueue the fused device pipeline for one SAME-SHAPE page group
+        (async; returns the in-flight entry for :meth:`fused_drain`).
+        Remainder groups pad to ``max_batch`` by repeating the last page so
+        a corpus compiles one program per page shape."""
+        from citlab_as_tpu.ops.resize import get_scaling_factor
+
+        fused = getattr(self.predict_fn, "_fused_separator", None)
+        if fused is None:
+            fused = make_fused_separator_fn(self.predict_fn.model)
+            self.predict_fn._fused_separator = fused
+
+        h0, w0 = images[0].shape
+        sc = get_scaling_factor(h0, w0, self.scaling_factor,
+                                fixed_height=self.fixed_height)
+        out_h, out_w = (h0, w0) if sc == 1.0 else (int(h0 * sc), int(w0 * sc))
+        h_kernel = max(1, int(15 * out_w / 1000))
+        v_kernel = max(1, int(30 * out_h / 1500))
+        noise_kernel = max(1, int(10 * out_w / 1000))
+        while len(images) < max_batch:
+            images = images + [images[-1]]
+        batch = jnp.asarray(np.stack(images))
+        h_packed, v_packed = fused(
+            self.predict_fn.variables, batch, out_h=out_h, out_w=out_w,
+            h_kernel=h_kernel, v_kernel=v_kernel, noise_kernel=noise_kernel,
+            threshold=self.threshold,
+            pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
+        return (chunk, h_packed, v_packed, out_w, [sc] * len(chunk))
+
+    def fused_drain(self, entry, pages_by_path: dict, phase=None) -> None:
+        """Materialize one in-flight group and do the host tail (unpack,
+        contour trace, rescale, write PAGE-XML)."""
+        import time as _time
+        chunk, h_packed, v_packed, out_w, scales = entry
+        t0 = _time.perf_counter()
+        h_packed = np.asarray(h_packed)   # materialize (device barrier)
+        v_packed = np.asarray(v_packed)
+        if phase is not None:
+            phase["materialize"] += _time.perf_counter() - t0
+        for i, (image_path, sc) in enumerate(zip(chunk, scales)):
+            t0 = _time.perf_counter()
+            masks = {
+                "horizontal": unpack_mask_bits(h_packed[i], out_w),
+                "vertical": unpack_mask_bits(v_packed[i], out_w),
+            }
+            polygons_dict = {}
+            for separator_type, mask in masks.items():
+                polygons_dict.update(masks_to_polygons(mask, separator_type))
+            polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
+            if phase is not None:
+                phase["contours"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            pages_by_path[image_path] = self._write_page(
+                image_path, polygons_dict)
+            if phase is not None:
+                phase["write"] += _time.perf_counter() - t0
+
+    @staticmethod
+    def group_by_shape(image_paths: List[str], max_batch: int):
+        """Lazily load images and yield consecutive same-shape page groups
+        (static jit shapes per group) as (images, chunk_paths). Generator so
+        a large corpus holds at most one group of images in memory."""
+        images: List[np.ndarray] = []
+        chunk: List[str] = []
+        for image_path in image_paths:
+            image = np.asarray(load_image(image_path, mode="L"), np.uint8)
+            if images and (images[0].shape != image.shape
+                           or len(images) >= max_batch):
+                yield images, chunk
+                images, chunk = [], []
+            images.append(image)
+            chunk.append(image_path)
+        if images:
+            yield images, chunk
+
     def run_batched_fused(self, batch_size: int = 4) -> List:
         """Fully fused device path (see :func:`make_fused_separator_fn`):
         uint8 originals up, bit-packed h/v masks down, one jit dispatch per
         same-shape page group, two-deep dispatch-ahead pipelining so contour
         tracing and PAGE-XML writing overlap device compute."""
-        from citlab_as_tpu.ops.resize import get_scaling_factor
-
-        # cache the jitted closure on the predictor so repeated stage runs
-        # reuse the compiled programs
         import time as _time
-        fused = getattr(self.predict_fn, "_fused_separator", None)
-        if fused is None:
-            fused = make_fused_separator_fn(self.predict_fn.model)
-            self.predict_fn._fused_separator = fused
-        variables = self.predict_fn.variables
-        pages_by_path = {}
-        in_flight = None   # (chunk_paths, device handles, out_w, scales)
+        pages_by_path: dict = {}
+        in_flight = None
         phase = {"load": 0.0, "dispatch": 0.0, "materialize": 0.0,
                  "contours": 0.0, "write": 0.0}
-
-        def drain(entry):
-            chunk, h_packed, v_packed, out_w, scales = entry
-            t0 = _time.perf_counter()
-            h_packed = np.asarray(h_packed)   # materialize (device barrier)
-            v_packed = np.asarray(v_packed)
-            phase["materialize"] += _time.perf_counter() - t0
-            for i, (image_path, sc) in enumerate(zip(chunk, scales)):
-                t0 = _time.perf_counter()
-                masks = {
-                    "horizontal": unpack_mask_bits(h_packed[i], out_w),
-                    "vertical": unpack_mask_bits(v_packed[i], out_w),
-                }
-                polygons_dict = {}
-                for separator_type, mask in masks.items():
-                    polygons_dict.update(masks_to_polygons(mask, separator_type))
-                polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
-                phase["contours"] += _time.perf_counter() - t0
-                t0 = _time.perf_counter()
-                pages_by_path[image_path] = self._write_page(
-                    image_path, polygons_dict)
-                phase["write"] += _time.perf_counter() - t0
-
-        # group consecutive same-original-shape pages (static shapes per jit)
         max_batch = min(batch_size,
                         getattr(self.predict_fn, "MAX_DEVICE_BATCH", batch_size))
         t0 = _time.perf_counter()
-        groups: List[tuple] = []
-        for image_path in self.image_paths:
-            image = np.asarray(load_image(image_path, mode="L"), np.uint8)
-            if groups and groups[-1][0][0].shape == image.shape \
-                    and len(groups[-1][0]) < max_batch:
-                groups[-1][0].append(image)
-                groups[-1][1].append(image_path)
-            else:
-                groups.append(([image], [image_path]))
+        groups = self.group_by_shape(self.image_paths, max_batch)
         phase["load"] += _time.perf_counter() - t0
 
         for images, chunk in groups:
             t_disp = _time.perf_counter()
-            h0, w0 = images[0].shape
-            sc = get_scaling_factor(h0, w0, self.scaling_factor,
-                                    fixed_height=self.fixed_height)
-            out_h, out_w = (h0, w0) if sc == 1.0 else (int(h0 * sc), int(w0 * sc))
-            h_kernel = max(1, int(15 * out_w / 1000))
-            v_kernel = max(1, int(30 * out_h / 1500))
-            noise_kernel = max(1, int(10 * out_w / 1000))
-            # pad remainder groups to the full batch (repeat last page) so a
-            # corpus compiles ONE program per page shape, not one per
-            # remainder size; padded outputs are dropped in drain()
-            while len(images) < max_batch:
-                images = images + [images[-1]]
-            batch = jnp.asarray(np.stack(images))
-            h_packed, v_packed = fused(
-                variables, batch, out_h=out_h, out_w=out_w, h_kernel=h_kernel,
-                v_kernel=v_kernel, noise_kernel=noise_kernel,
-                threshold=self.threshold,
-                pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
+            entry = self.fused_dispatch(images, chunk, max_batch)
             phase["dispatch"] += _time.perf_counter() - t_disp
             if in_flight is not None:
-                drain(in_flight)
-            in_flight = (chunk, h_packed, v_packed, out_w, [sc] * len(chunk))
+                self.fused_drain(in_flight, pages_by_path, phase)
+            in_flight = entry
         if in_flight is not None:
-            drain(in_flight)
+            self.fused_drain(in_flight, pages_by_path, phase)
         logger.info("separator fused phases (s): %s",
                     {k: round(v, 3) for k, v in phase.items()})
         return [pages_by_path[p] for p in self.image_paths]
