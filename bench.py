@@ -35,13 +35,13 @@ import numpy as np
 
 H, W = 1536, 1024
 BATCH = 7        # measured v5e sweet spot; XLA's conv schedule regresses B>=8
-PAGES = 14       # two full batches through the workflow
+PAGES = 28       # four full batches: the wave pipeline reaches steady state
 NORTH_STAR_PER_CHIP = 50.0 / 8.0
 
 
 def bench_e2e():
     from bench_e2e import make_demo_page
-    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow_pipelined
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
 
     work = "/tmp/bench_repo_e2e"
@@ -60,17 +60,18 @@ def bench_e2e():
     head = SegmentationPredictor(dir_or_none("models_ckpt/heading"))
     gnn = RelationPredictor(dir_or_none("models_ckpt/gnn/best/f1"))
 
-    run_full_workflow(image_paths, out_dir=os.path.join(work, "warm"),
-                      separator_predictor=sep, heading_predictor=head,
-                      gnn_predictor=gnn, batch_size=BATCH)
-    timings = {}
+    # wave-pipelined driver: all host stages overlap device compute
+    run_full_workflow_pipelined(
+        image_paths, out_dir=os.path.join(work, "warm"),
+        separator_predictor=sep, heading_predictor=head,
+        gnn_predictor=gnn, batch_size=BATCH)
     t0 = time.perf_counter()
-    run_full_workflow(image_paths, out_dir=os.path.join(work, "out"),
-                      separator_predictor=sep, heading_predictor=head,
-                      gnn_predictor=gnn, batch_size=BATCH, timings=timings)
+    run_full_workflow_pipelined(
+        image_paths, out_dir=os.path.join(work, "out"),
+        separator_predictor=sep, heading_predictor=head,
+        gnn_predictor=gnn, batch_size=BATCH)
     total = time.perf_counter() - t0
-    return PAGES / total, {k: round(v / PAGES, 3)
-                           for k, v in sorted(timings.items())}
+    return PAGES / total, {"total_s_per_page": round(total / PAGES, 3)}
 
 
 def bench_forward():
@@ -140,7 +141,7 @@ def main():
     edge_preds_s = bench_gnn()
     print(json.dumps({
         "metric": f"end-to-end workflow pages/s ({PAGES} full 1500x1000 "
-                  f"pages, all 5 stages, 1 chip)",
+                  f"pages, all 5 stages, wave-pipelined, 1 chip)",
         "value": round(e2e_pages_s, 3),
         "unit": "pages/s",
         "vs_baseline": round(e2e_pages_s / NORTH_STAR_PER_CHIP, 3),

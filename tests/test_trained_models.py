@@ -483,7 +483,7 @@ def test_blind_e2e_visual_gnn_f1(tmp_path):
     page.write_page_xml(page_path)
 
     gnn = RelationPredictor(
-        GNN_VISUAL_CKPT, image_input=True, visual_backbone="ARU_v1",
+        GNN_VISUAL_CKPT, image_input=True, visual_backbone="ARU_cutted_v1",
         image_min_dimension=288, image_max_dimension=384)
     result = run_full_workflow(
         [img], separator_model_dir=SEP_CKPT, heading_model_dir=HEAD_CKPT,
