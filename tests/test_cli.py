@@ -143,3 +143,35 @@ def test_full_workflow_smoke(tmp_path):
     assert set(result["timings"]) >= {
         "separator", "heading", "baseline_clustering", "textregion",
         "features", "gnn_clustering"}
+
+
+@pytest.mark.slow
+def test_full_workflow_pipelined_cpu_fallback(tmp_path):
+    """On the CPU test backend the pipelined driver falls back to the
+    sequential path and produces the same outputs/contract."""
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow_pipelined
+    from citlab_as_tpu.pagexml import Page
+
+    img_path = _page_with_lines(tmp_path)
+
+    def separator_predictor(image_grey):
+        h, w = image_grey.shape
+        prob = np.zeros((h, w, 2), np.float32)
+        x = w // 2
+        prob[10:h - 10, x - 2:x + 2, 0] = 0.9
+        prob[..., 1] = 1.0 - prob[..., 0]
+        return prob
+
+    def heading_predictor(image_grey):
+        h, w = image_grey.shape
+        prob = np.zeros((h, w, 2), np.float32)
+        prob[..., 1] = 1.0
+        return prob
+
+    result = run_full_workflow_pipelined(
+        [img_path], out_dir=str(tmp_path / "out"),
+        separator_predictor=separator_predictor,
+        heading_predictor=heading_predictor)
+    assert result["clustered"] and os.path.exists(result["clustered"][0])
+    page = Page(result["clustered"][0])
+    assert page.get_textlines()
