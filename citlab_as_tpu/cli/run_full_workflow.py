@@ -191,12 +191,22 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                 clustering_method=clustering_method,
                 out_dir=out_dir, page_path=pp, image_path=ip))
 
+    import jax.numpy as jnp
+    import numpy as np
+
     groups = SeparatorNetPostProcessor.group_by_shape(
         list(image_paths), max_batch)
     in_flight = None
     for images, chunk in groups:
-        sep_entry = sep_proc.fused_dispatch(list(images), chunk, max_batch)
-        head_entry = head_proc.fused_dispatch(list(images), chunk, max_batch)
+        # one upload feeds BOTH fused programs
+        padded = list(images)
+        while len(padded) < max_batch:
+            padded.append(padded[-1])
+        device_batch = jnp.asarray(np.stack(padded))
+        sep_entry = sep_proc.fused_dispatch(
+            list(images), chunk, max_batch, device_batch=device_batch)
+        head_entry = head_proc.fused_dispatch(
+            list(images), chunk, max_batch, device_batch=device_batch)
         if in_flight is not None:
             host_tail(in_flight)
         in_flight = (sep_entry, head_entry, chunk)

@@ -275,9 +275,11 @@ class HeadingNetPostProcessor:
         return pages
 
     def fused_dispatch(self, images: List[np.ndarray], chunk: List[str],
-                       max_batch: int):
+                       max_batch: int, device_batch=None):
         """Enqueue the fused heading forward for one same-shape page group
-        (async); returns the in-flight entry for :meth:`fused_drain`."""
+        (async); returns the in-flight entry for :meth:`fused_drain`.
+        ``device_batch`` shares an already-uploaded uint8 batch (see
+        SeparatorNetPostProcessor.fused_dispatch)."""
         import jax.numpy as jnp
         from citlab_as_tpu.ops.resize import get_scaling_factor
 
@@ -290,10 +292,14 @@ class HeadingNetPostProcessor:
                                 fixed_height=self.fixed_height)
         out_h, out_w = (h0, w0) if sc == 1.0 else (int(h0 * sc), int(w0 * sc))
         orig = list(images)
-        while len(images) < max_batch:
-            images = images + [images[-1]]
+        if device_batch is not None:
+            batch = device_batch
+        else:
+            while len(images) < max_batch:
+                images = images + [images[-1]]
+            batch = jnp.asarray(np.stack(images))
         maps_u8 = fused(
-            self.predict_fn.variables, jnp.asarray(np.stack(images)),
+            self.predict_fn.variables, batch,
             out_h=out_h, out_w=out_w,
             pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
         return (chunk, maps_u8, orig)

@@ -299,11 +299,13 @@ class SeparatorNetPostProcessor:
         return pages
 
     def fused_dispatch(self, images: List[np.ndarray], chunk: List[str],
-                       max_batch: int):
+                       max_batch: int, device_batch=None):
         """Enqueue the fused device pipeline for one SAME-SHAPE page group
         (async; returns the in-flight entry for :meth:`fused_drain`).
         Remainder groups pad to ``max_batch`` by repeating the last page so
-        a corpus compiles one program per page shape."""
+        a corpus compiles one program per page shape. ``device_batch`` lets
+        a pipeline driver share ONE uploaded [max_batch, H0, W0] uint8 array
+        between stages instead of uploading the images per stage."""
         from citlab_as_tpu.ops.resize import get_scaling_factor
 
         fused = getattr(self.predict_fn, "_fused_separator", None)
@@ -318,9 +320,12 @@ class SeparatorNetPostProcessor:
         h_kernel = max(1, int(15 * out_w / 1000))
         v_kernel = max(1, int(30 * out_h / 1500))
         noise_kernel = max(1, int(10 * out_w / 1000))
-        while len(images) < max_batch:
-            images = images + [images[-1]]
-        batch = jnp.asarray(np.stack(images))
+        if device_batch is not None:
+            batch = device_batch
+        else:
+            while len(images) < max_batch:
+                images = images + [images[-1]]
+            batch = jnp.asarray(np.stack(images))
         h_packed, v_packed = fused(
             self.predict_fn.variables, batch, out_h=out_h, out_w=out_w,
             h_kernel=h_kernel, v_kernel=v_kernel, noise_kernel=noise_kernel,
