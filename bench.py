@@ -65,13 +65,16 @@ def bench_e2e():
         image_paths, out_dir=os.path.join(work, "warm"),
         separator_predictor=sep, heading_predictor=head,
         gnn_predictor=gnn, batch_size=BATCH)
+    timings = {}
     t0 = time.perf_counter()
     run_full_workflow_pipelined(
         image_paths, out_dir=os.path.join(work, "out"),
         separator_predictor=sep, heading_predictor=head,
-        gnn_predictor=gnn, batch_size=BATCH)
+        gnn_predictor=gnn, batch_size=BATCH, timings=timings)
     total = time.perf_counter() - t0
-    return PAGES / total, {"total_s_per_page": round(total / PAGES, 3)}
+    stages = {k: round(v / PAGES, 3) for k, v in sorted(timings.items())}
+    stages["total_s_per_page"] = round(total / PAGES, 3)
+    return PAGES / total, stages
 
 
 def bench_forward():

@@ -172,24 +172,40 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                     getattr(sep_predictor, "MAX_DEVICE_BATCH", batch_size))
     clustered = []
 
+    def part(name, fn):
+        t0 = _time.time()
+        out = fn()
+        timings[name] = timings.get(name, 0.0) + _time.time() - t0
+        return out
+
     def host_tail(entry):
         sep_entry, head_entry, chunk = entry
-        sep_proc.fused_drain(sep_entry, {})
-        head_proc.fused_drain(head_entry, {})
+        part("separator_drain", lambda: sep_proc.fused_drain(sep_entry, {}))
+        part("heading_drain", lambda: head_proc.fused_drain(head_entry, {}))
         page_paths = [get_page_path(p) + ".xml" for p in chunk]
-        for pp in page_paths:
-            cluster_page(pp)
-        from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
-        for pp in page_paths:
-            generate_text_regions_for_page(pp)
-        json_paths = generate_feature_jsons(
+
+        def run_baselines():
+            for pp in page_paths:
+                cluster_page(pp)
+        part("baseline_clustering", run_baselines)
+
+        def run_regions():
+            from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
+            for pp in page_paths:
+                generate_text_regions_for_page(pp)
+        part("textregion", run_regions)
+
+        json_paths = part("features", lambda: generate_feature_jsons(
             page_paths, visual_regions=visual, separators="bb",
-            image_paths=list(chunk))
-        for json_path, pp, ip in zip(json_paths, page_paths, chunk):
-            clustered.append(gnn_clustering_for_page(
-                json_path, gnn_predictor,
-                clustering_method=clustering_method,
-                out_dir=out_dir, page_path=pp, image_path=ip))
+            image_paths=list(chunk)))
+
+        def run_gnn():
+            for json_path, pp, ip in zip(json_paths, page_paths, chunk):
+                clustered.append(gnn_clustering_for_page(
+                    json_path, gnn_predictor,
+                    clustering_method=clustering_method,
+                    out_dir=out_dir, page_path=pp, image_path=ip))
+        part("gnn_clustering", run_gnn)
 
     import jax.numpy as jnp
     import numpy as np
