@@ -35,7 +35,7 @@ import numpy as np
 
 H, W = 1536, 1024
 BATCH = 7        # measured v5e sweet spot; XLA's conv schedule regresses B>=8
-PAGES = 28       # four full batches: the wave pipeline reaches steady state
+PAGES = 14       # two full batches (compile warm-up uses the first group)
 NORTH_STAR_PER_CHIP = 50.0 / 8.0
 
 
@@ -60,9 +60,11 @@ def bench_e2e():
     head = SegmentationPredictor(dir_or_none("models_ckpt/heading"))
     gnn = RelationPredictor(dir_or_none("models_ckpt/gnn/best/f1"))
 
-    # wave-pipelined driver: all host stages overlap device compute
+    # wave-pipelined driver: all host stages overlap device compute.
+    # Warm on the first batch-sized group only — it compiles every program
+    # (both fused nets + GNN buckets); the timed run reuses the caches.
     run_full_workflow_pipelined(
-        image_paths, out_dir=os.path.join(work, "warm"),
+        image_paths[:BATCH], out_dir=os.path.join(work, "warm"),
         separator_predictor=sep, heading_predictor=head,
         gnn_predictor=gnn, batch_size=BATCH)
     timings = {}
@@ -84,7 +86,7 @@ def bench_forward():
     rng = np.random.RandomState(0)
     inputs = [jax.device_put(jnp.asarray(
                   np.asarray(rng.rand(BATCH, H, W, 1), np.float32)
-              ).astype(jnp.bfloat16)) for _ in range(3)]
+              ).astype(jnp.bfloat16)) for _ in range(2)]
     variables = model.init(jax.random.PRNGKey(0), inputs[0][:1])
 
     @jax.jit
@@ -95,19 +97,19 @@ def bench_forward():
     def fetch_scalar(out):
         return float(np.asarray(out[0, 0, 0, 0]))
 
-    for i in range(3):
-        fetch_scalar(forward(variables, inputs[i % 3]))
-    iters = 10
+    for i in range(2):
+        fetch_scalar(forward(variables, inputs[i % 2]))
+    iters = 8
     t0 = time.perf_counter()
     out = None
     for i in range(iters):
-        out = forward(variables, inputs[i % 3])
+        out = forward(variables, inputs[i % 2])
     fetch_scalar(out)
     dt = (time.perf_counter() - t0) / iters
     return BATCH / dt, BATCH / dt * H * W / 1e6
 
 
-def bench_gnn(batch_graphs_n: int = 8, nodes: int = 128, iters: int = 20):
+def bench_gnn(batch_graphs_n: int = 4, nodes: int = 128, iters: int = 10):
     from citlab_as_tpu.models.gnn.graph import (
         batch_graphs, build_full_relations, correct_edges, pad_graph)
     from citlab_as_tpu.models.gnn.model import GraphRelation
