@@ -94,3 +94,35 @@ def test_spatial_sharding_arunet_parity_f32():
     xs = jax.device_put(jnp.asarray(x), spatial_sharding(mesh))
     sharded = np.asarray(fwd(replicate(mesh, variables), xs))
     np.testing.assert_allclose(sharded, ref, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_separator_pipeline_sharded():
+    """The whole fused separator device pipeline (resize -> ARU forward ->
+    threshold -> CC -> morphology -> bit-pack) runs data-parallel over the
+    8-device mesh with the batch sharded on 'data' and params replicated;
+    results match the unsharded program exactly."""
+    import jax
+    import jax.numpy as jnp
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from citlab_as_tpu.stages.separator import make_fused_separator_fn
+
+    pred = SegmentationPredictor(model_dir=None, pad_multiple=32, seed=3,
+                                 dtype=jnp.float32)
+    fused = make_fused_separator_fn(pred.model)
+
+    rng = np.random.RandomState(0)
+    batch_np = (rng.rand(8, 96, 128) * 255).astype(np.uint8)
+    kw = dict(out_h=96, out_w=128, h_kernel=2, v_kernel=2, noise_kernel=1,
+              threshold=0.3, pad_multiple=32)
+
+    h_ref, v_ref = fused(pred.variables, jnp.asarray(batch_np), **kw)
+
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    variables = replicate(mesh, pred.variables)
+    sharded = shard_batch(mesh, jnp.asarray(batch_np))
+    h_sh, v_sh = fused(variables, sharded, **kw)
+
+    np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_sh))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_sh))
