@@ -210,24 +210,31 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
     import jax.numpy as jnp
     import numpy as np
 
+    from citlab_as_tpu.pagexml.page import page_cache
+
     groups = SeparatorNetPostProcessor.group_by_shape(
         list(image_paths), max_batch)
     in_flight = None
-    for images, chunk in groups:
-        # one upload feeds BOTH fused programs
-        padded = list(images)
-        while len(padded) < max_batch:
-            padded.append(padded[-1])
-        device_batch = jnp.asarray(np.stack(padded))
-        sep_entry = sep_proc.fused_dispatch(
-            list(images), chunk, max_batch, device_batch=device_batch)
-        head_entry = head_proc.fused_dispatch(
-            list(images), chunk, max_batch, device_batch=device_batch)
+    # page_cache: the host tail's five stages each re-parse the page file
+    # the previous stage just wrote; within this scope an unchanged file
+    # returns the live Page instance instead (every stage still writes its
+    # output file — the on-disk contract is unchanged)
+    with page_cache():
+        for images, chunk in groups:
+            # one upload feeds BOTH fused programs
+            padded = list(images)
+            while len(padded) < max_batch:
+                padded.append(padded[-1])
+            device_batch = jnp.asarray(np.stack(padded))
+            sep_entry = sep_proc.fused_dispatch(
+                list(images), chunk, max_batch, device_batch=device_batch)
+            head_entry = head_proc.fused_dispatch(
+                list(images), chunk, max_batch, device_batch=device_batch)
+            if in_flight is not None:
+                host_tail(in_flight)
+            in_flight = (sep_entry, head_entry, chunk)
         if in_flight is not None:
             host_tail(in_flight)
-        in_flight = (sep_entry, head_entry, chunk)
-    if in_flight is not None:
-        host_tail(in_flight)
 
     timings["total"] = timings.get("total", 0.0) + _time.time() - t_start
     return {"pages": page_paths_all, "clustered": clustered,

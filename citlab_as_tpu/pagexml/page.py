@@ -53,13 +53,58 @@ class TranskribusMetadata:
         self.imageId = imageId
 
 
+# scoped parse cache: within a `page_cache()` block, re-loading a path whose
+# file is unchanged since OUR last parse/write returns the SAME Page instance
+# (the pipeline stages otherwise parse the same page file 5x per page, each
+# stage re-reading what the previous one just wrote). Opt-in only: safe as
+# long as every DOM mutation is saved before another consumer loads the path
+# (true for all pipeline stages); plain `Page(path)` outside the context
+# always parses fresh.
+_PAGE_CACHE: dict = {}
+_PAGE_CACHE_ON = False
+
+
+class page_cache:
+    """Context manager enabling the scoped Page parse cache."""
+
+    def __enter__(self):
+        global _PAGE_CACHE_ON
+        self._prev = _PAGE_CACHE_ON
+        _PAGE_CACHE_ON = True
+        return self
+
+    def __exit__(self, *exc):
+        global _PAGE_CACHE_ON
+        _PAGE_CACHE_ON = self._prev
+        if not _PAGE_CACHE_ON:
+            _PAGE_CACHE.clear()
+        return False
+
+
 class Page:
     """Load, inspect, mutate and save a PAGE-XML document (page.py:27-891)."""
+
+    def __new__(cls, path_to_xml=None, *args, **kwargs):
+        if _PAGE_CACHE_ON and isinstance(path_to_xml, str):
+            key = os.path.abspath(path_to_xml)
+            entry = _PAGE_CACHE.get(key)
+            if entry is not None and os.path.exists(key) \
+                    and entry[0] == os.path.getmtime(key):
+                return entry[1]
+        return super().__new__(cls)
 
     def __init__(self, path_to_xml=None, creator_name=C.CREATOR,
                  img_filename=None, img_w=None, img_h=None):
         if path_to_xml is not None:
+            key = os.path.abspath(path_to_xml)
+            if (_PAGE_CACHE_ON and getattr(self, "_cache_key", None) == key
+                    and self._cache_mtime == os.path.getmtime(key)):
+                return  # cache hit: __new__ returned the live instance
             self.page_doc = self.load_page_xml(path_to_xml)
+            if _PAGE_CACHE_ON:
+                self._cache_key = key
+                self._cache_mtime = os.path.getmtime(key)
+                _PAGE_CACHE[key] = (self._cache_mtime, self)
         else:
             self.page_doc = self.create_page_xml_document(
                 creator_name, img_filename, img_w or 0, img_h or 0)
@@ -471,3 +516,10 @@ class Page:
             f.write(etree.tostring(
                 self.page_doc, pretty_print=True, encoding="UTF-8",
                 standalone=True, xml_declaration=True).decode("utf-8"))
+        if _PAGE_CACHE_ON:
+            # DOM == file right after a write: keep this instance live for
+            # the next stage's load of the same path
+            key = os.path.abspath(save_path)
+            self._cache_key = key
+            self._cache_mtime = os.path.getmtime(key)
+            _PAGE_CACHE[key] = (self._cache_mtime, self)

@@ -210,3 +210,33 @@ def test_print_space_fallback(tmp_path):
     p.write_text(no_ps)
     page = Page(str(p))
     assert page.get_print_space_coords() == [(0, 0), (10, 0), (10, 20), (0, 20)]
+
+
+def test_page_cache_scoped(tmp_path):
+    """page_cache(): unchanged files return the live instance; external
+    modification invalidates; outside the scope parses are always fresh."""
+    from citlab_as_tpu.pagexml.page import Page, page_cache
+
+    p = tmp_path / "c.xml"
+    page = Page(creator_name="t", img_filename="c.png", img_w=10, img_h=10)
+    page.write_page_xml(str(p))
+
+    a = Page(str(p))
+    b = Page(str(p))
+    assert a is not b  # cache off by default
+
+    with page_cache():
+        c = Page(str(p))
+        d = Page(str(p))
+        assert c is d
+        # a write through the cached instance keeps it live for reloads
+        c.write_page_xml(str(p))
+        assert Page(str(p)) is c
+        # external modification invalidates
+        import os
+        os.utime(str(p), (1, 1))
+        e = Page(str(p))
+        assert e is not c
+    # scope exited: fresh parses again
+    f = Page(str(p))
+    assert f is not e
