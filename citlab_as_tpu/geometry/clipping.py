@@ -26,6 +26,7 @@ from independent edge evaluations at a crossing event is << the snap).
 """
 from __future__ import annotations
 
+import math
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -165,6 +166,27 @@ def _horizontal_pieces(cover: Dict[float, List[Tuple[float, float, int]]]):
     return out
 
 
+def _pick_leftmost(segments, cands: List[int], d_in) -> int:
+    """Junction rule: choose the candidate making the sharpest LEFT turn
+    relative to the incoming direction (smallest CCW angle in (0, 2pi]).
+
+    Every directed boundary piece keeps the polygon interior on its left, so
+    the leftmost turn continues the boundary of the same face — regions that
+    only touch at a vertex stay separate rings instead of being chained into
+    one self-touching ring (mirrors the crack-follow rule in ops/contours.py).
+    """
+    ang_in = math.atan2(d_in[1], d_in[0])
+    best_j, best_a = cands[0], float("inf")
+    for j in cands:
+        p, q = segments[j]
+        a = (math.atan2(q[1] - p[1], q[0] - p[0]) - ang_in) % (2 * math.pi)
+        if a <= 1e-12:
+            a = 2 * math.pi  # straight-ahead loses to any genuine left turn
+        if a < best_a:
+            best_a, best_j = a, j
+    return best_j
+
+
 def _link_rings(segments) -> List[Ring]:
     """Chain directed segments head-to-tail into closed rings."""
     by_start: Dict[Tuple[int, int], List[int]] = {}
@@ -183,7 +205,12 @@ def _link_rings(segments) -> List[Ring]:
             cands = [j for j in by_start.get(cur, []) if not used[j]]
             if not cands:
                 break  # open chain (numerical orphan) — drop it
-            j = cands[0]
+            if len(cands) == 1:
+                j = cands[0]
+            else:
+                p, q = ring[-2], ring[-1]
+                j = _pick_leftmost(segments, cands,
+                                   (q[0] - p[0], q[1] - p[1]))
             used[j] = True
             ring.append(segments[j][1])
             cur = _key(*segments[j][1])

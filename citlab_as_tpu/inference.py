@@ -262,11 +262,13 @@ class RelationPredictor:
         return b
 
     def _visual_inputs(self, graph: dict, image: np.ndarray,
-                       max_nodes: int, max_edges: int) -> dict:
+                       max_nodes: int, max_edges: int,
+                       max_points: Optional[int] = None) -> dict:
         """image + visual regions -> model input arrays. The page image is
         ratio-resized (image_resizer.py:111-168 contract) and region coords
         are scaled into the resized frame; regions pad to the node/edge
-        buckets ([1, N, 2, P] + valid point counts)."""
+        buckets ([1, N, 2, P] + valid point counts). ``max_points`` lets
+        :meth:`confidences_batch` force a shared point bucket across pages."""
         from citlab_as_tpu.ops.image_utils import resize_image_ratio
 
         orig_h, orig_w = image.shape[:2]
@@ -283,7 +285,8 @@ class RelationPredictor:
             arr = [np.asarray(r, np.float32) for r in regions]  # [2, P_i]
             # power-of-two point padding: the per-page max point count is
             # another unique-shape recompile source otherwise
-            max_p = self._edge_bucket(max(a.shape[1] for a in arr))
+            max_p = max_points or self._edge_bucket(
+                max(a.shape[1] for a in arr))
             packed = np.zeros((1, max_items, 2, max_p), np.float32)
             counts = np.zeros((1, max_items), np.int32)
             sx, sy = tw / orig_w, th / orig_h
@@ -307,8 +310,8 @@ class RelationPredictor:
             out["num_points_visual_regions_edges"] = counts
         return out
 
-    def confidences(self, graph: dict,
-                    image: Optional[np.ndarray] = None) -> np.ndarray:
+    def _correct_graph(self, graph: dict):
+        """Masked + edge-corrected arrays for one page graph."""
         from citlab_as_tpu.train.input_pipeline import apply_feature_masks
         n = int(graph["num_nodes"])
         node_features = apply_feature_masks(
@@ -317,18 +320,68 @@ class RelationPredictor:
             np.asarray(graph["edge_features"], np.float32), self.edge_feature_mask)
         edges, edge_features = correct_edges(
             np.asarray(graph["interacting_nodes"], np.int32), edge_features, n)
-        rels, _, _ = build_full_relations(n, None)
+        return n, node_features, edges, edge_features
 
-        max_nodes = self._bucket(n)
-        max_edges = self._edge_bucket(max(len(edges), 1))
-        g = pad_graph(n, node_features, edges, edge_features, rels, None,
-                      max_nodes, max_edges, max_nodes * max_nodes)
-        inputs = {k: jnp.asarray(v) for k, v in batch_graphs([g]).items()}
-        if self.image_input and image is not None:
-            inputs.update({k: jnp.asarray(v) for k, v in self._visual_inputs(
-                graph, image, max_nodes, max_edges).items()})
+    def confidences(self, graph: dict,
+                    image: Optional[np.ndarray] = None) -> np.ndarray:
+        return self.confidences_batch(
+            [graph], [image] if image is not None else None)[0]
+
+    def _batch_inputs(self, graphs: Sequence[dict],
+                      images: Optional[Sequence[np.ndarray]]):
+        """Shared-bucket union-graph inputs for a page group."""
+        corrected = [self._correct_graph(g) for g in graphs]
+        ns = [c[0] for c in corrected]
+        max_nodes = self._bucket(max(ns))
+        max_edges = self._edge_bucket(
+            max(max(len(c[2]) for c in corrected), 1))
+        padded = []
+        for n, node_features, edges, edge_features in corrected:
+            rels, _, _ = build_full_relations(n, None)
+            padded.append(pad_graph(
+                n, node_features, edges, edge_features, rels, None,
+                max_nodes, max_edges, max_nodes * max_nodes))
+        inputs = {k: jnp.asarray(v) for k, v in batch_graphs(padded).items()}
+        if self.image_input and images is not None:
+            max_points = self._edge_bucket(max(
+                max((np.asarray(r).shape[1] for r in
+                     g.get("visual_regions_nodes", [])), default=1)
+                for g in graphs))
+            vis = [self._visual_inputs(g, im, max_nodes, max_edges,
+                                       max_points=max_points)
+                   for g, im in zip(graphs, images)]
+            inputs.update({k: jnp.asarray(np.concatenate(
+                [v[k] for v in vis], axis=0)) for k in vis[0]})
+        return inputs, ns
+
+    def confidences_batch(self, graphs: Sequence[dict],
+                          images: Optional[Sequence[np.ndarray]] = None
+                          ) -> list:
+        """ONE device forward over a whole page group.
+
+        The reference dispatches the relation net per page
+        (run_gnn_clustering.py:237-305); the union-graph batching the model
+        already consumes (graph_gnn.py:81-119 trick) lets a group of pages
+        share a single dispatch — per-page dispatch+readback latency (the
+        dominant cost of small GNN programs over the tunnel) is paid once
+        per group. Pages pad to the group's shared node/edge buckets.
+        Returns a list of [n_i, n_i] confidence arrays."""
+        return self.confidences_batch_device(graphs, images)()
+
+    def confidences_batch_device(self, graphs: Sequence[dict],
+                                 images: Optional[Sequence[np.ndarray]] = None):
+        """Dispatch-only variant of :meth:`confidences_batch`: returns a
+        zero-arg callable materializing the per-page results. Lets a pipeline
+        driver enqueue the group's GNN forward BEFORE the next group's big
+        fused programs so it is not stuck behind them in the in-order device
+        queue."""
+        inputs, ns = self._batch_inputs(graphs, images)
         self._ensure_params(inputs)
-        conf = np.asarray(self._predict(self.variables, inputs))[0]
-        return conf[:n * n].reshape(n, n)
+        dev_conf = self._predict(self.variables, inputs)
+
+        def materialize():
+            conf = np.asarray(dev_conf)
+            return [conf[i, :n * n].reshape(n, n) for i, n in enumerate(ns)]
+        return materialize
 
     __call__ = confidences

@@ -21,13 +21,10 @@ import numpy as np
 _BG = jnp.int32(1 << 30)
 
 
-def _run_min(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
-    """Min label within each horizontal run of foreground pixels.
-
-    Segmented associative scan (forward + backward prefix-min with reset at
-    run boundaries): log-depth, vectorized across rows, no scatter. The
-    earlier segment_min formulation scattered into an H*W-segment buffer —
-    6x slower on v5e (52 ms vs 8 ms per sweep at 1536x1024)."""
+def _run_min_scan(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
+    """Segmented associative-scan formulation of :func:`_run_min` (fallback
+    when the packed-key encoding would overflow int32). 8 ms/sweep on v5e at
+    1536x1024 — the packed cummax variant below is preferred."""
     start = fg & ~jnp.pad(fg, ((0, 0), (1, 0)))[:, :-1]
     vals = jnp.where(fg, labels, _BG)
 
@@ -44,28 +41,48 @@ def _run_min(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(fg, jnp.minimum(labels, out), labels)
 
 
+def _run_min(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
+    """Min label within each horizontal run of foreground pixels.
+
+    Packed-key cummax formulation: with run index r (cumsum of run starts)
+    and value v < VMAX, the key r*(VMAX+1) + (VMAX - v) is strictly larger
+    for later runs, and within a run its prefix-max carries the prefix-MIN
+    of v — so ONE cummax per direction replaces the tuple-carry segmented
+    associative scan (measured 8 ms/sweep on v5e; cummax lowers to XLA's
+    native scan codegen). Requires max_runs*(VMAX+1) < 2^31; larger images
+    fall back to :func:`_run_min_scan`.
+    """
+    h, w = labels.shape
+    vmax = h * w  # labels are row-major indices < h*w at fg pixels
+    max_runs = (w + 1) // 2 + 1
+    if max_runs * (vmax + 1) >= (1 << 31):
+        return _run_min_scan(labels, fg)
+    scale = jnp.int32(vmax + 1)
+
+    def directional(lab, fgd):
+        start = fgd & ~jnp.pad(fgd, ((0, 0), (1, 0)))[:, :-1]
+        runid = jnp.cumsum(start.astype(jnp.int32), axis=1)
+        # bg pixels: complement part 0 — below every fg key of the same run
+        comp = jnp.where(fgd, vmax - lab, 0)
+        key = runid * scale + comp
+        return vmax - jax.lax.cummax(key, axis=1) % scale
+
+    fwd = directional(labels, fg)
+    bwd = directional(labels[:, ::-1], fg[:, ::-1])[:, ::-1]
+    run_min = jnp.minimum(fwd, bwd)  # prefix-min from left / right => run min
+    return jnp.where(fg, jnp.minimum(labels, run_min), labels)
+
+
 def _neighbor_min(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
-    """Min over the 8-neighborhood (connectivity glue for diagonals)."""
-    best = labels
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            shifted = labels
-            if dy:
-                shifted = jnp.roll(shifted, dy, axis=0)
-                if dy > 0:
-                    shifted = shifted.at[:dy, :].set(_BG)
-                else:
-                    shifted = shifted.at[dy:, :].set(_BG)
-            if dx:
-                shifted = jnp.roll(shifted, dx, axis=1)
-                if dx > 0:
-                    shifted = shifted.at[:, :dx].set(_BG)
-                else:
-                    shifted = shifted.at[:, dx:].set(_BG)
-            best = jnp.minimum(best, shifted)
-    return jnp.where(fg, best, labels)
+    """Min over the 8-neighborhood (connectivity glue for diagonals).
+
+    One 3x3 reduce_window (native TPU window codegen) instead of eight
+    roll+mask+min passes; bg pixels hold _BG already (the min identity), so
+    the window can read them directly."""
+    win = jax.lax.reduce_window(
+        labels, np.int32(1 << 30), jax.lax.min, window_dimensions=(3, 3),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)))
+    return jnp.where(fg, jnp.minimum(labels, win), labels)
 
 
 @partial(jax.jit, static_argnames=("max_iters",))

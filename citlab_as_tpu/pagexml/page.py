@@ -520,6 +520,12 @@ class Page:
             # DOM == file right after a write: keep this instance live for
             # the next stage's load of the same path
             key = os.path.abspath(save_path)
+            old_key = getattr(self, "_cache_key", None)
+            if old_key is not None and old_key != key:
+                # rebinding this instance to a new path: drop the stale entry
+                # so a later Page(old_path) re-parses the (unchanged) file
+                # instead of returning this now-mutated DOM
+                _PAGE_CACHE.pop(old_key, None)
             self._cache_key = key
             self._cache_mtime = os.path.getmtime(key)
             _PAGE_CACHE[key] = (self._cache_mtime, self)

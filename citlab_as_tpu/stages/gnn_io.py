@@ -137,18 +137,24 @@ def gnn_clustering_for_page(json_path: str,
                             mask_horizontally_separated: bool = False,
                             mask_heading_separated: bool = False,
                             page_path: Optional[str] = None,
-                            image_path: Optional[str] = None) -> Optional[str]:
+                            image_path: Optional[str] = None,
+                            confidences: Optional[np.ndarray] = None
+                            ) -> Optional[str]:
     """One page: graph JSON -> confidences -> (masking) -> clustering ->
     clustering PAGE-XML. ``confidence_fn(graph_json_dict) -> [N, N] array``
     wraps the jitted relation net (or loaded confidences). When the
     predictor takes ``image_input`` (visual 'v' nets) the page image is
-    loaded and passed along (run_gnn_clustering.py:223-279)."""
+    loaded and passed along (run_gnn_clustering.py:223-279).
+    ``confidences`` short-circuits the net forward with a precomputed matrix
+    (the batched group path, :func:`gnn_clustering_for_pages`)."""
     with open(json_path) as f:
         graph = json.load(f)
     if page_path is None:
         page_path = get_page_from_json_path(json_path)
 
-    if getattr(confidence_fn, "image_input", False):
+    if confidences is not None:
+        confs = np.asarray(confidences, np.float64)
+    elif getattr(confidence_fn, "image_input", False):
         from citlab_as_tpu.utils.io import get_img_from_page_path, load_image
         img = load_image(image_path or get_img_from_page_path(page_path),
                          mode="L")
@@ -174,6 +180,60 @@ def gnn_clustering_for_page(json_path: str,
     info = tb_clustering.get_info(clustering_method) or clustering_method
     return save_clustering_to_page(
         tb_clustering.tb_labels, page_path, out_dir, info=info)
+
+
+def gnn_confidences_dispatch(json_paths: Sequence[str], predictor,
+                             image_paths: Optional[Sequence[str]] = None):
+    """Load a page group's graph JSONs and enqueue ONE batched relation-net
+    forward (inference.RelationPredictor.confidences_batch_device). Returns
+    (graphs, materialize_fn) — ``materialize_fn()`` yields the per-page
+    [n, n] confidence matrices. Pipeline drivers call this early so the
+    small GNN program is not queued behind the next group's fused programs.
+    """
+    graphs = []
+    for json_path in json_paths:
+        with open(json_path) as f:
+            graphs.append(json.load(f))
+    images = None
+    if getattr(predictor, "image_input", False):
+        from citlab_as_tpu.utils.io import (
+            get_img_from_page_path, get_page_from_json_path, load_image)
+        images = []
+        for i, json_path in enumerate(json_paths):
+            image_path = image_paths[i] if image_paths is not None else \
+                get_img_from_page_path(get_page_from_json_path(json_path))
+            images.append(np.asarray(load_image(image_path, mode="L")))
+    if hasattr(predictor, "confidences_batch_device"):
+        return graphs, predictor.confidences_batch_device(graphs, images)
+
+    def materialize():      # plain per-page fallback (test predictors)
+        if images is not None:
+            return [predictor(g, image=im) for g, im in zip(graphs, images)]
+        return [predictor(g) for g in graphs]
+    return graphs, materialize
+
+
+def gnn_clustering_for_pages(json_paths: Sequence[str], predictor,
+                             clustering_method: str = "dbscan",
+                             clustering_params: Optional[dict] = None,
+                             out_dir: str = "",
+                             page_paths: Optional[Sequence[str]] = None,
+                             image_paths: Optional[Sequence[str]] = None
+                             ) -> List[Optional[str]]:
+    """Batched group variant of :func:`gnn_clustering_for_page`: one device
+    forward for the whole group, then per-page clustering + write-out."""
+    _, materialize = gnn_confidences_dispatch(json_paths, predictor,
+                                              image_paths)
+    confs = materialize()
+    out = []
+    for i, json_path in enumerate(json_paths):
+        out.append(gnn_clustering_for_page(
+            json_path, predictor, clustering_method=clustering_method,
+            clustering_params=clustering_params, out_dir=out_dir,
+            page_path=page_paths[i] if page_paths is not None else None,
+            image_path=image_paths[i] if image_paths is not None else None,
+            confidences=confs[i]))
+    return out
 
 
 def conf_to_cluster(conf_paths: Sequence[str],

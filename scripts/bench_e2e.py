@@ -99,7 +99,13 @@ def main():
 
     os.makedirs(args.work_dir, exist_ok=True)
     rng = np.random.RandomState(0)
-    image_paths, total_lines = [], 0
+    # warm pages are DISTINCT from timed pages so per-page caches (the SWT
+    # distance-transform memo, the scoped page parse cache) stay cold for the
+    # timed run — same methodology as the top-level bench.py
+    warm_paths, image_paths, total_lines = [], [], 0
+    for i in range(args.pages):
+        path, _ = make_demo_page(args.work_dir, f"warm{i:03d}", rng)
+        warm_paths.append(path)
     for i in range(args.pages):
         path, n_lines = make_demo_page(args.work_dir, f"bench{i:03d}", rng)
         image_paths.append(path)
@@ -115,11 +121,11 @@ def main():
     head_pred = SegmentationPredictor(model_dir_or_none(args.heading_model_dir))
     gnn_pred = RelationPredictor(model_dir_or_none(args.gnn_model_dir))
 
-    # warm-up over the SAME page set/batch structure so the timed run hits
-    # the fused per-batch-shape jit caches (a 1-page warm-up would compile
-    # different programs than the batched run)
+    # warm-up over a page set with the same batch structure so the timed run
+    # hits the fused per-batch-shape jit caches (a 1-page warm-up would
+    # compile different programs than the batched run)
     run_full_workflow(
-        image_paths, out_dir=os.path.join(args.work_dir, "warm"),
+        warm_paths, out_dir=os.path.join(args.work_dir, "warm"),
         separator_predictor=sep_pred, heading_predictor=head_pred,
         gnn_predictor=gnn_pred)
 
