@@ -31,7 +31,9 @@ def run_full_workflow(image_paths: Sequence[str],
                       separator_predictor=None,
                       heading_predictor=None,
                       gnn_predictor=None,
-                      batch_size: int = 7) -> dict:
+                      batch_size: int = 7,
+                      separator_fixed_height: int = 1500,
+                      heading_fixed_height: int = 900) -> dict:
     """Returns {'pages': [...], 'timings': {stage: seconds}}. Predictors may
     be injected directly (tests / custom models); otherwise they are loaded
     from the given model dirs (random-init when None)."""
@@ -55,7 +57,8 @@ def run_full_workflow(image_paths: Sequence[str],
     # 1. separator detection (batched + dispatch-ahead when multi-page)
     sep_predictor = separator_predictor or SegmentationPredictor(separator_model_dir)
     sep_proc = SeparatorNetPostProcessor(
-        list(image_paths), sep_predictor, fixed_height=1500)
+        list(image_paths), sep_predictor,
+        fixed_height=separator_fixed_height)
     if len(image_paths) > 1 and hasattr(sep_predictor, "predict_batch"):
         timed("separator", lambda: sep_proc.run_batched(batch_size=batch_size))
     else:
@@ -70,7 +73,8 @@ def run_full_workflow(image_paths: Sequence[str],
     if not skip_heading:
         heading_predictor = heading_predictor or SegmentationPredictor(heading_model_dir)
         proc = HeadingNetPostProcessor(
-            list(image_paths), heading_predictor, fixed_height=900,
+            list(image_paths), heading_predictor,
+            fixed_height=heading_fixed_height,
             page_paths=page_paths, save_suffix="")
         timed("heading", lambda: proc.run_batched(batch_size=batch_size)
               if len(image_paths) > 1 else proc.run())
@@ -120,36 +124,49 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                                 separator_predictor=None,
                                 heading_predictor=None,
                                 gnn_predictor=None,
-                                batch_size: int = 7) -> dict:
+                                batch_size: int = 7,
+                                force: bool = False,
+                                separator_fixed_height: int = 1500,
+                                heading_fixed_height: int = 900) -> dict:
     """Wave-pipelined production driver (accelerator backends).
 
-    Per same-shape page group, BOTH fused device programs (separator and
-    heading — the heading forward depends only on the image, not on the
-    separator output) are enqueued before the previous group's host tail
-    runs, so EVERY host stage (contour tracing, page writing, SWT +
-    classification, DBSCAN baselines, text regions, feature generation,
-    GNN clustering) overlaps device compute. Steady-state throughput
-    approaches max(host, device) instead of their sum. File contracts and
-    results are identical to :func:`run_full_workflow` (per-chunk stage
-    order is preserved: separator write -> heading in place -> baselines ->
-    regions -> features -> GNN).
+    Three-stage software pipeline over same-shape page groups, ordered so
+    that every SMALL device program is enqueued before the next group's BIG
+    fused programs (the in-order device queue would otherwise stall the
+    host on them):
+
+      wave i:  sep-materialize(i-1)            <- the only real barrier
+               sep host work(i-1) + per-page heading line-feature dispatch
+               dispatch big fused programs(i)  <- overlaps the rest
+               heading finish(i-2), baselines/regions/features(i-2),
+                 batched-GNN dispatch(i-2)
+               GNN materialize(i-3) + clustering(i-3)
+
+    Steady-state throughput approaches max(host tail, device) instead of
+    their sum. File contracts and results are identical to
+    :func:`run_full_workflow` (per-page stage order is preserved:
+    separator write -> heading in place -> baselines -> regions ->
+    features -> GNN). ``force=True`` runs the wave loop even on the CPU
+    backend (tests); by default CPU falls back to the sequential driver.
     """
     import time as _time
 
     import jax
 
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not force:
         return run_full_workflow(
             image_paths, separator_model_dir, heading_model_dir,
             gnn_model_dir, clustering_method, out_dir,
             timings=timings, separator_predictor=separator_predictor,
             heading_predictor=heading_predictor, gnn_predictor=gnn_predictor,
-            batch_size=batch_size)
+            batch_size=batch_size,
+            separator_fixed_height=separator_fixed_height,
+            heading_fixed_height=heading_fixed_height)
 
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
     from citlab_as_tpu.stages.baseline_clustering import cluster_page
     from citlab_as_tpu.stages.features import generate_feature_jsons
-    from citlab_as_tpu.stages.gnn_io import gnn_clustering_for_page
+    from citlab_as_tpu.stages.gnn_io import gnn_confidences_dispatch, gnn_clustering_for_page
     from citlab_as_tpu.stages.heading import HeadingNetPostProcessor
     from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
 
@@ -163,14 +180,16 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
 
     page_paths_all = [get_page_path(p) + ".xml" for p in image_paths]
     sep_proc = SeparatorNetPostProcessor(
-        list(image_paths), sep_predictor, fixed_height=1500)
+        list(image_paths), sep_predictor,
+        fixed_height=separator_fixed_height)
     head_proc = HeadingNetPostProcessor(
-        list(image_paths), heading_predictor, fixed_height=900,
+        list(image_paths), heading_predictor,
+        fixed_height=heading_fixed_height,
         page_paths=page_paths_all, save_suffix="")
 
     max_batch = min(batch_size,
                     getattr(sep_predictor, "MAX_DEVICE_BATCH", batch_size))
-    clustered = []
+    clustered_by_path = {}
 
     def part(name, fn):
         t0 = _time.time()
@@ -178,64 +197,107 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
         timings[name] = timings.get(name, 0.0) + _time.time() - t0
         return out
 
-    def host_tail(entry):
-        sep_entry, head_entry, chunk = entry
-        part("separator_drain", lambda: sep_proc.fused_drain(sep_entry, {}))
-        part("heading_drain", lambda: head_proc.fused_drain(head_entry, {}))
-        page_paths = [get_page_path(p) + ".xml" for p in chunk]
-
-        def run_baselines():
-            for pp in page_paths:
-                cluster_page(pp)
-        part("baseline_clustering", run_baselines)
-
-        def run_regions():
-            from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
-            for pp in page_paths:
-                generate_text_regions_for_page(pp)
-        part("textregion", run_regions)
-
-        json_paths = part("features", lambda: generate_feature_jsons(
-            page_paths, visual_regions=visual, separators="bb",
-            image_paths=list(chunk)))
-
-        def run_gnn():
-            for json_path, pp, ip in zip(json_paths, page_paths, chunk):
-                clustered.append(gnn_clustering_for_page(
-                    json_path, gnn_predictor,
-                    clustering_method=clustering_method,
-                    out_dir=out_dir, page_path=pp, image_path=ip))
-        part("gnn_clustering", run_gnn)
-
     import jax.numpy as jnp
     import numpy as np
 
     from citlab_as_tpu.pagexml.page import page_cache
 
+    # pipeline slots: group state advances big -> head -> gnn -> done
+    pend_big = None    # (sep_entry, head_entry, chunk)
+    pend_head = None   # (head_state, chunk)
+    pend_gnn = None    # (materialize, json_paths, page_paths, chunk)
+
+    def advance(images, chunk):
+        nonlocal pend_big, pend_head, pend_gnn
+        new_head = new_gnn = None
+
+        if pend_big is not None:
+            sep_entry, head_entry, pchunk = pend_big
+            # the pipeline's ONE barrier: download the separator group's
+            # bit-packed masks (host work comes after the next dispatch)
+            sep_np = part("separator_materialize",
+                          lambda: sep_proc.fused_materialize(sep_entry))
+
+        if images is not None:
+            def dispatch_big():
+                padded = list(images)
+                while len(padded) < max_batch:
+                    padded.append(padded[-1])
+                device_batch = jnp.asarray(np.stack(padded))
+                sep_entry = sep_proc.fused_dispatch(
+                    list(images), chunk, max_batch, device_batch=device_batch)
+                head_entry = head_proc.fused_dispatch(
+                    list(images), chunk, max_batch, device_batch=device_batch)
+                return (sep_entry, head_entry, chunk)
+            pend_big_next = part("dispatch", dispatch_big)
+        else:
+            pend_big_next = None
+
+        if pend_big is not None:
+            # host tail of the freshly materialized group overlaps the big
+            # programs just dispatched; the per-line heading programs and
+            # the group GNN land behind them in the queue, which is fine —
+            # their drains happen a wave later, after the next barrier
+            part("separator_drain",
+                 lambda: sep_proc.fused_drain(sep_np, {}))
+            head_state = part("heading_dispatch",
+                              lambda: head_proc.fused_drain_dispatch(head_entry))
+            new_head = (head_state, pchunk)
+
+        if pend_head is not None:
+            head_state, pchunk = pend_head
+            part("heading_drain",
+                 lambda: head_proc.fused_drain_finish(head_state, {}))
+            page_paths = [get_page_path(p) + ".xml" for p in pchunk]
+
+            def run_baselines():
+                for pp in page_paths:
+                    cluster_page(pp)
+            part("baseline_clustering", run_baselines)
+
+            def run_regions():
+                from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
+                for pp in page_paths:
+                    generate_text_regions_for_page(pp)
+            part("textregion", run_regions)
+
+            json_paths = part("features", lambda: generate_feature_jsons(
+                page_paths, visual_regions=visual, separators="bb",
+                image_paths=list(pchunk)))
+            _, materialize = part("gnn_dispatch", lambda: gnn_confidences_dispatch(
+                json_paths, gnn_predictor, image_paths=list(pchunk)))
+            new_gnn = (materialize, json_paths, page_paths, pchunk)
+
+        if pend_gnn is not None:
+            materialize, json_paths, page_paths, pchunk = pend_gnn
+
+            def run_gnn():
+                confs = materialize()
+                for i, (json_path, pp, ip) in enumerate(
+                        zip(json_paths, page_paths, pchunk)):
+                    clustered_by_path[ip] = gnn_clustering_for_page(
+                        json_path, gnn_predictor,
+                        clustering_method=clustering_method,
+                        out_dir=out_dir, page_path=pp, image_path=ip,
+                        confidences=confs[i])
+            part("gnn_clustering", run_gnn)
+
+        pend_big, pend_head, pend_gnn = pend_big_next, new_head, new_gnn
+
     groups = SeparatorNetPostProcessor.group_by_shape(
         list(image_paths), max_batch)
-    in_flight = None
-    # page_cache: the host tail's five stages each re-parse the page file
-    # the previous stage just wrote; within this scope an unchanged file
-    # returns the live Page instance instead (every stage still writes its
-    # output file — the on-disk contract is unchanged)
+    # page_cache: the host tail's stages each re-parse the page file the
+    # previous stage just wrote; within this scope an unchanged file returns
+    # the live Page instance instead (every stage still writes its output
+    # file — the on-disk contract is unchanged)
     with page_cache():
         for images, chunk in groups:
-            # one upload feeds BOTH fused programs
-            padded = list(images)
-            while len(padded) < max_batch:
-                padded.append(padded[-1])
-            device_batch = jnp.asarray(np.stack(padded))
-            sep_entry = sep_proc.fused_dispatch(
-                list(images), chunk, max_batch, device_batch=device_batch)
-            head_entry = head_proc.fused_dispatch(
-                list(images), chunk, max_batch, device_batch=device_batch)
-            if in_flight is not None:
-                host_tail(in_flight)
-            in_flight = (sep_entry, head_entry, chunk)
-        if in_flight is not None:
-            host_tail(in_flight)
+            advance(images, chunk)
+        for _ in range(3):   # flush the three pipeline stages
+            advance(None, None)
 
+    clustered = [clustered_by_path[p] for p in image_paths
+                 if p in clustered_by_path]
     timings["total"] = timings.get("total", 0.0) + _time.time() - t_start
     return {"pages": page_paths_all, "clustered": clustered,
             "timings": timings}

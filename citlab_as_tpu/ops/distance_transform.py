@@ -7,6 +7,11 @@ O(log max(H, W)) fully-parallel steps of 9 shifted candidates each — a
 textbook TPU pattern (pure vector ops, static shapes). The 1+JFA variant
 (an extra step at offset 1) removes almost all of plain JFA's rare
 off-by-small errors.
+
+Compile-friendliness: the step loop is a lax.fori_loop over a DYNAMIC step
+size (roll + iota masks), not an unrolled chain — the unrolled form made a
+~100-op-deep HLO per step that took the remote TPU compiler tens of minutes
+once vmapped over a page batch.
 """
 from __future__ import annotations
 
@@ -18,21 +23,22 @@ import jax.numpy as jnp
 _BIG = jnp.int32(1 << 20)
 
 
-def _shift2d(arr: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
-    """Shift a 2-D array by (dy, dx), filling vacated cells with ``fill``."""
+def _shift2d_dyn(arr: jnp.ndarray, dy_sign: int, dx_sign: int,
+                 k, fill) -> jnp.ndarray:
+    """Shift a 2-D array by (dy_sign*k, dx_sign*k) with static signs and a
+    traced magnitude ``k``, filling vacated cells with ``fill``."""
+    h, w = arr.shape
     out = arr
-    if dy:
-        out = jnp.roll(out, dy, axis=0)
-        if dy > 0:
-            out = out.at[:dy, :].set(fill)
-        else:
-            out = out.at[dy:, :].set(fill)
-    if dx:
-        out = jnp.roll(out, dx, axis=1)
-        if dx > 0:
-            out = out.at[:, :dx].set(fill)
-        else:
-            out = out.at[:, dx:].set(fill)
+    if dy_sign:
+        out = jnp.roll(out, dy_sign * k, axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        vacated = rows < k if dy_sign > 0 else rows >= h - k
+        out = jnp.where(vacated, fill, out)
+    if dx_sign:
+        out = jnp.roll(out, dx_sign * k, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        vacated = cols < k if dx_sign > 0 else cols >= w - k
+        out = jnp.where(vacated, fill, out)
     return out
 
 
@@ -66,20 +72,26 @@ def distance_transform_edt(binary: jnp.ndarray, cap: float = 0.0) -> jnp.ndarray
         steps.append(k)
         k >>= 1
     steps.append(1)  # 1+JFA refinement pass
+    steps_arr = jnp.asarray(steps, jnp.int32)
 
-    for step in steps:
+    def body(i, carry):
+        sy, sx = carry
+        step = steps_arr[i]
         best_d = dist2(sy, sx)
-        for dy in (-step, 0, step):
-            for dx in (-step, 0, step):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
                 if dy == 0 and dx == 0:
                     continue
-                cy = _shift2d(sy, dy, dx, _BIG)
-                cx = _shift2d(sx, dy, dx, _BIG)
+                cy = _shift2d_dyn(sy, dy, dx, step, _BIG)
+                cx = _shift2d_dyn(sx, dy, dx, step, _BIG)
                 cd = dist2(cy, cx)
                 better = cd < best_d
                 sy = jnp.where(better, cy, sy)
                 sx = jnp.where(better, cx, sx)
                 best_d = jnp.where(better, cd, best_d)
+        return sy, sx
+
+    sy, sx = jax.lax.fori_loop(0, len(steps), body, (sy, sx))
 
     dist = jnp.sqrt(dist2(sy, sx))
     dist = jnp.where(fg, dist, 0.0)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import datetime
 import logging
 import os
+import re
 from typing import Dict, List, Optional, Tuple
 
 from lxml import etree
@@ -119,11 +120,23 @@ class Page:
         self.textlines = self.get_textlines()
 
     # ---------------- validation ----------------
-    @staticmethod
-    def validate(doc) -> bool:
-        """Structural validation: PcGts root in the PAGE namespace with a
-        Metadata (Creator/Created/LastChange prefix) and a Page node carrying
-        image dimensions."""
+    # the 2013-07-15 XSD's Coords/Baseline points facet:
+    # ([0-9]+,[0-9]+ )+([0-9]+,[0-9]+)  — >= 2 non-negative integer pairs
+    _POINTS_RE = re.compile(r"^([0-9]+,[0-9]+ )+[0-9]+,[0-9]+$")
+    # elements the XSD requires to carry a Coords child
+    _NEEDS_COORDS = ("TextRegion", "SeparatorRegion", "ImageRegion",
+                     "GraphicRegion", "TableRegion", "ChartRegion",
+                     "TextLine", "Word")
+
+    @classmethod
+    def validate(cls, doc) -> bool:
+        """Structural validation standing in for the Transkribus XSD pass
+        (reference page.py:49-65 + the 4.6 kLoC schemas; DEVIATIONS #3):
+        PcGts root in the PAGE namespace; exactly one Page carrying image
+        dimensions; one Metadata led by Creator/Created/LastChange;
+        document-unique ids; Coords present on every region/line/word with
+        an XSD-conforming points list (>= 2 comma-separated non-negative
+        integer pairs)."""
         try:
             root = doc.getroot()
         except AttributeError:
@@ -142,7 +155,27 @@ class Page:
         if len(meta) != 1:
             return False
         names = [etree.QName(e.tag).localname for e in meta[0]]
-        return names[:3] == [C.CREATOR_ELT, C.CREATED_ELT, C.LAST_CHANGE_ELT]
+        if names[:3] != [C.CREATOR_ELT, C.CREATED_ELT, C.LAST_CHANGE_ELT]:
+            return False
+        # duplicate ids: the XSD's xs:ID type enforces document uniqueness
+        ids = root.xpath("//*[@id]/@id")
+        if len(ids) != len(set(ids)):
+            return False
+        # required + well-formed Coords
+        for name in cls._NEEDS_COORDS:
+            for nd in root.iter(f"{{{C.NS_PAGE_XML}}}{name}"):
+                coords = nd.find(f"{{{C.NS_PAGE_XML}}}Coords")
+                if coords is None:
+                    return False
+        for coords in root.iter(f"{{{C.NS_PAGE_XML}}}Coords"):
+            points = coords.get("points")
+            if points is None or not cls._POINTS_RE.match(points):
+                return False
+        for bl in root.iter(f"{{{C.NS_PAGE_XML}}}Baseline"):
+            points = bl.get("points")
+            if points is None or not cls._POINTS_RE.match(points):
+                return False
+        return True
 
     # ---------------- XML helpers ----------------
     @classmethod

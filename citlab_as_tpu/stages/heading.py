@@ -63,6 +63,47 @@ def make_fused_heading_fn(model):
     return fused
 
 
+def make_fused_heading_swt_fn(model):
+    """Round-3 variant: ONE jit computing BOTH the heading probability map
+    and the full-resolution SWT distance transform (invert -> Gaussian+Otsu
+    -> capped EDT, swt_dist_trafo.py:18-29) from the same uploaded uint8
+    batch. Neither output is read back: both stay device-resident and feed
+    the per-line feature programs (ops/swt_device.py), which drain only
+    [n_lines, 3] scalars per page — the DT image never crosses the host
+    link, and the heading stage's host work shrinks to XML handling."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from citlab_as_tpu.ops.binarize import otsu_binarize
+    from citlab_as_tpu.ops.distance_transform import distance_transform_edt
+
+    @partial(jax.jit, static_argnames=("out_h", "out_w", "pad_multiple"))
+    def fused(variables, img_u8, out_h: int, out_w: int,
+              pad_multiple: int = 64):
+        x = img_u8.astype(jnp.float32)
+        if (out_h, out_w) != x.shape[1:]:
+            x = jax.image.resize(x, (x.shape[0], out_h, out_w),
+                                 method="linear", antialias=True)
+        ph = -out_h % pad_multiple
+        pw = -out_w % pad_multiple
+        net_in = jnp.pad(x, ((0, 0), (0, ph), (0, pw)))[..., None] / 255.0
+        logits, _ = model.apply(variables, net_in)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs0 = probs[:, :out_h, :out_w, 0]
+        prob_u8 = (probs0.astype(jnp.float32) * 255.0).astype(jnp.uint8)
+
+        def dt_one(img):
+            inv = 255.0 - img.astype(jnp.float32)
+            _, binary = otsu_binarize(inv, blur_ksize=5)
+            return distance_transform_edt(binary, cap=255.0).astype(jnp.uint8)
+
+        dt_u8 = jax.vmap(dt_one)(img_u8)
+        return prob_u8, dt_u8
+
+    return fused
+
+
 def scale_to_new_interval(data, old_min, old_max, new_min=0.0, new_max=1.0):
     """Affine remap of ``data`` from [old_min, old_max] to [new_min, new_max]
     (heading:51-64); identity when the old interval is degenerate."""
@@ -105,6 +146,10 @@ class HeadingNetPostProcessor:
         self.threshold = threshold
         self.thresh_dict = dict(thresh_dict) if thresh_dict else dict(DEFAULT_THRESHOLDS)
         self.text_line_percentage = text_line_percentage
+        # device SWT path (fused DT + per-line feature programs); None =
+        # auto (on for accelerator backends, off on CPU where scipy wins)
+        self.use_device_swt: Optional[bool] = None
+        self._device_features = None
 
     def _page_path_for(self, image_path: str) -> str:
         if self.page_paths is not None:
@@ -126,6 +171,25 @@ class HeadingNetPostProcessor:
         return float(np.sum(crop) / (bb.width * bb.height))
 
     # ------------------------------------------------------------------
+    def line_feature_boxes(self, text_lines, scaling_factor):
+        """[L, 4] int32 (x, y, w, h) bbox pairs for the device feature
+        programs: unscaled (SWT crop) and rescaled (net prob crop) — the
+        same bboxes the host path computes. Lines without a surrounding
+        polygon are marked w = -1 (features forced to zero)."""
+        swt_boxes = np.full((len(text_lines), 4), -1, np.int32)
+        net_boxes = np.full((len(text_lines), 4), -1, np.int32)
+        for i, tl in enumerate(text_lines):
+            if tl.surr_p is None:
+                continue
+            poly = tl.surr_p.to_polygon()
+            bb = poly.get_bounding_box()
+            swt_boxes[i] = (bb.x, bb.y, bb.width, bb.height)
+            if scaling_factor is not None:
+                poly.rescale(scaling_factor)
+                bb = poly.get_bounding_box()
+            net_boxes[i] = (bb.x, bb.y, bb.width, bb.height)
+        return swt_boxes, net_boxes
+
     def classify_page(self, page_object, scaling_factor,
                       net_output_post: Optional[np.ndarray],
                       swt_feature_image: Optional[np.ndarray]) -> None:
@@ -146,7 +210,16 @@ class HeadingNetPostProcessor:
             else:
                 net_prob[tl.id] = self.get_net_prob_for_text_line(
                     net_output_post, tl, scaling_factor)
+        self.classify_from_features(page_object, text_lines,
+                                    net_prob, sw_raw, th_raw)
 
+    def classify_from_features(self, page_object, text_lines,
+                               net_prob: Dict, sw_raw: Dict,
+                               th_raw: Dict) -> None:
+        """Decision half of the stage (page-mode normalization, hard
+        thresholds, weighted sum, >=80% region typing) — shared verbatim by
+        the host and device feature paths so fused-vs-run parity holds by
+        construction on this side."""
         use_swt = len(sw_raw) > 0
         if use_swt:
             sw_mode = Counter(sw_raw.values()).most_common(1)[0][0]
@@ -279,14 +352,27 @@ class HeadingNetPostProcessor:
         """Enqueue the fused heading forward for one same-shape page group
         (async); returns the in-flight entry for :meth:`fused_drain`.
         ``device_batch`` shares an already-uploaded uint8 batch (see
-        SeparatorNetPostProcessor.fused_dispatch)."""
+        SeparatorNetPostProcessor.fused_dispatch).
+
+        On accelerator backends the program also computes the full-res SWT
+        distance transform on device (make_fused_heading_swt_fn); both
+        outputs stay device-resident for the per-line feature programs."""
+        import jax
         import jax.numpy as jnp
         from citlab_as_tpu.ops.resize import get_scaling_factor
 
-        fused = getattr(self.predict_fn, "_fused_heading", None)
-        if fused is None:
-            fused = make_fused_heading_fn(self.predict_fn.model)
-            self.predict_fn._fused_heading = fused
+        if self.use_device_swt is None:
+            self.use_device_swt = jax.default_backend() != "cpu"
+        if self.use_device_swt:
+            fused = getattr(self.predict_fn, "_fused_heading_swt", None)
+            if fused is None:
+                fused = make_fused_heading_swt_fn(self.predict_fn.model)
+                self.predict_fn._fused_heading_swt = fused
+        else:
+            fused = getattr(self.predict_fn, "_fused_heading", None)
+            if fused is None:
+                fused = make_fused_heading_fn(self.predict_fn.model)
+                self.predict_fn._fused_heading = fused
         h0, w0 = images[0].shape
         sc = get_scaling_factor(h0, w0, self.scaling_factor,
                                 fixed_height=self.fixed_height)
@@ -298,30 +384,87 @@ class HeadingNetPostProcessor:
             while len(images) < max_batch:
                 images = images + [images[-1]]
             batch = jnp.asarray(np.stack(images))
-        maps_u8 = fused(
+        out = fused(
             self.predict_fn.variables, batch,
             out_h=out_h, out_w=out_w,
             pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
-        return (chunk, maps_u8, orig)
+        if self.use_device_swt:
+            maps_u8, dt_u8 = out
+        else:
+            maps_u8, dt_u8 = out, None
+        return (chunk, maps_u8, dt_u8, orig)
 
-    def fused_drain(self, entry, pages_by_path: dict) -> None:
-        """Materialize one group's heading maps; SWT + classification + XML
-        on host."""
-        chunk, maps_u8, images = entry
-        maps_u8 = np.asarray(maps_u8)
-        for image_path, net_u8, image in zip(chunk, maps_u8, images):
-            net_output_post = net_u8 / 255.0
-            swt_feature_image = self.swt.distance_transform(
-                image, cache_key=image_path)
+    def fused_drain_dispatch(self, entry):
+        """First half of the drain: on the device-SWT path, per page the
+        line bboxes go UP and the tiny per-line feature programs are
+        enqueued (nothing materialized yet) — a pipeline driver calls this
+        BEFORE dispatching the next group's big programs so the small ones
+        are not stuck behind them. Returns the state for
+        :meth:`fused_drain_finish`."""
+        chunk, maps_u8, dt_u8, images = entry
+        if not self.use_device_swt or dt_u8 is None:
+            return ("host", entry)
+
+        from citlab_as_tpu.ops.swt_device import DeviceLineFeatures
+        if self._device_features is None:
+            self._device_features = DeviceLineFeatures()
+
+        entries = []
+        for i, image_path in enumerate(chunk):
             page_path = self._page_path_for(image_path)
             writer = RegionToPageWriter(
                 page_path, path_to_image=image_path,
                 fixed_height=self.fixed_height,
                 scaling_factor=self.scaling_factor)
-            self.classify_page(writer.page_object, writer.scaling_factor,
-                               net_output_post, swt_feature_image)
+            text_lines = writer.page_object.get_textlines()
+            swt_boxes, net_boxes = self.line_feature_boxes(
+                text_lines, writer.scaling_factor)
+            handle = self._device_features.dispatch(
+                dt_u8[i], maps_u8[i], swt_boxes, net_boxes)
+            entries.append((image_path, page_path, writer, text_lines, handle))
+        return ("device", entries)
+
+    def fused_drain_finish(self, state, pages_by_path: dict) -> None:
+        """Second half: materialize the [n_lines, 3] feature scalars (or, on
+        the host path, the probability maps + host SWT), classify, save."""
+        kind, payload = state
+        if kind == "host":
+            chunk, maps_u8, _dt, images = payload
+            maps_np = np.asarray(maps_u8)
+            for image_path, net_u8, image in zip(chunk, maps_np, images):
+                net_output_post = net_u8 / 255.0
+                swt_feature_image = self.swt.distance_transform(
+                    image, cache_key=image_path)
+                page_path = self._page_path_for(image_path)
+                writer = RegionToPageWriter(
+                    page_path, path_to_image=image_path,
+                    fixed_height=self.fixed_height,
+                    scaling_factor=self.scaling_factor)
+                self.classify_page(writer.page_object, writer.scaling_factor,
+                                   net_output_post, swt_feature_image)
+                writer.save_page_xml(page_path + self.save_suffix)
+                pages_by_path[image_path] = writer.page_object
+            return
+
+        net_on = self.weight_dict["net"] > 0
+        for image_path, page_path, writer, text_lines, handle in payload:
+            netp, sw_th = handle()
+            net_prob, sw_raw, th_raw = {}, {}, {}
+            for j, tl in enumerate(text_lines):
+                net_prob[tl.id] = float(netp[j]) if net_on else 0.0
+                sw_raw[tl.id] = float(sw_th[j, 0])
+                th_raw[tl.id] = int(sw_th[j, 1])
+            self.classify_from_features(writer.page_object, text_lines,
+                                        net_prob, sw_raw, th_raw)
             writer.save_page_xml(page_path + self.save_suffix)
             pages_by_path[image_path] = writer.page_object
+
+    def fused_drain(self, entry, pages_by_path: dict) -> None:
+        """Materialize one group's heading results; classification + XML on
+        host. Device-SWT path: the DT / probability images never leave the
+        device — only [n_lines, 3] scalars per page are read back."""
+        self.fused_drain_finish(self.fused_drain_dispatch(entry),
+                                pages_by_path)
 
     def run_batched_fused(self, batch_size: int = 4) -> List:
         """Fused device path (see :func:`make_fused_heading_fn`): uint8

@@ -333,9 +333,18 @@ class SeparatorNetPostProcessor:
             pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
         return (chunk, h_packed, v_packed, out_w, [sc] * len(chunk))
 
+    def fused_materialize(self, entry):
+        """Device barrier only: download the group's bit-packed masks.
+        A pipeline driver calls this BEFORE dispatching the next group's big
+        programs so the whole host tail then overlaps device compute."""
+        chunk, h_packed, v_packed, out_w, scales = entry
+        return (chunk, np.asarray(h_packed), np.asarray(v_packed), out_w,
+                scales)
+
     def fused_drain(self, entry, pages_by_path: dict, phase=None) -> None:
-        """Materialize one in-flight group and do the host tail (unpack,
-        contour trace, rescale, write PAGE-XML)."""
+        """Materialize one in-flight group (no-op if already materialized)
+        and do the host tail (unpack, contour trace, rescale, write
+        PAGE-XML)."""
         import time as _time
         chunk, h_packed, v_packed, out_w, scales = entry
         t0 = _time.perf_counter()

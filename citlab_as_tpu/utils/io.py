@@ -38,10 +38,33 @@ def get_page_path(image_path: str, page_folder_name: str = "page",
     return os.path.join(dir_name, page_folder_name, os.path.splitext(image_name)[0] + ".xml")
 
 
+_IMAGE_CACHE: "dict" = {}
+_IMAGE_CACHE_MAX = 16
+
+
 def load_image(path_to_image: str, mode: str = "L") -> np.ndarray:
-    """Load an image as a numpy array (grayscale 'L' or RGB)."""
+    """Load an image as a numpy array (grayscale 'L' or RGB).
+
+    Bounded mtime-keyed LRU: in one workflow pass the separator, heading,
+    feature and GNN stages each load the same page image (PNG decode is
+    10-20 ms/page of pure host time on the single-core production host);
+    the second and later loads are free. Results are read-only views."""
     from PIL import Image
-    return np.asarray(Image.open(path_to_image).convert(mode))
+    key = (os.path.abspath(path_to_image), mode)
+    try:
+        mtime = os.path.getmtime(path_to_image)
+    except OSError:
+        mtime = None
+    entry = _IMAGE_CACHE.get(key)
+    if entry is not None and entry[0] == mtime:
+        _IMAGE_CACHE[key] = _IMAGE_CACHE.pop(key)   # LRU bump
+        return entry[1]
+    arr = np.asarray(Image.open(path_to_image).convert(mode))
+    arr.flags.writeable = False
+    _IMAGE_CACHE[key] = (mtime, arr)
+    while len(_IMAGE_CACHE) > _IMAGE_CACHE_MAX:
+        _IMAGE_CACHE.pop(next(iter(_IMAGE_CACHE)))
+    return arr
 
 
 def get_img_from_page_path(page_path: str) -> str:

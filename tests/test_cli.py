@@ -175,3 +175,63 @@ def test_full_workflow_pipelined_cpu_fallback(tmp_path):
     assert result["clustered"] and os.path.exists(result["clustered"][0])
     page = Page(result["clustered"][0])
     assert page.get_textlines()
+
+
+@pytest.mark.slow
+def test_full_workflow_pipelined_forced_matches_sequential(tmp_path):
+    """The 3-stage wave loop itself (force=True on the CPU backend, fused
+    programs and all), byte-compared against the sequential driver: same
+    page XMLs, same clustering XMLs. Exercises multi-wave pipelining (three
+    same-shape groups at batch_size=2) and the pipeline flush."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from bench_e2e import make_demo_page
+    from citlab_as_tpu.cli.run_full_workflow import (
+        run_full_workflow, run_full_workflow_pipelined)
+    from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def ckpt(name):
+        d = os.path.join(repo, "models_ckpt", name)
+        return d if os.path.isdir(d) else None
+
+    corpora = {}
+    for variant in ("seq", "pipe"):
+        work = tmp_path / variant
+        work.mkdir()
+        rng = np.random.RandomState(7)
+        corpora[variant] = [
+            make_demo_page(str(work), f"p{i}", rng, w=500, h=700)[0]
+            for i in range(5)]
+
+    sep = SegmentationPredictor(ckpt("separator"))
+    head = SegmentationPredictor(ckpt("heading"))
+    gnn = RelationPredictor(ckpt(os.path.join("gnn", "best", "f1")))
+
+    kw = dict(separator_fixed_height=512, heading_fixed_height=384,
+              batch_size=2)
+    run_full_workflow(
+        corpora["seq"], out_dir=str(tmp_path / "seq_out"),
+        separator_predictor=sep, heading_predictor=head, gnn_predictor=gnn,
+        **kw)
+    res = run_full_workflow_pipelined(
+        corpora["pipe"], out_dir=str(tmp_path / "pipe_out"),
+        separator_predictor=sep, heading_predictor=head, gnn_predictor=gnn,
+        force=True, **kw)
+    assert len(res["clustered"]) == 5
+
+    for i in range(5):
+        a = (tmp_path / "seq" / "page" / f"p{i}.xml.xml").read_bytes()
+        b = (tmp_path / "pipe" / "page" / f"p{i}.xml.xml").read_bytes()
+        assert a == b, f"page {i} xml differs between drivers"
+    seq_clusters = sorted(
+        p for p in (tmp_path / "seq" / "clustering").rglob("*.xml"))
+    pipe_clusters = sorted(
+        p for p in (tmp_path / "pipe" / "clustering").rglob("*.xml"))
+    assert len(seq_clusters) == len(pipe_clusters) == 5
+    for a, b in zip(seq_clusters, pipe_clusters):
+        assert a.read_bytes() == b.read_bytes(), f"{a} differs"

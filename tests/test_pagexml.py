@@ -240,3 +240,98 @@ def test_page_cache_scoped(tmp_path):
     # scope exited: fresh parses again
     f = Page(str(p))
     assert f is not e
+
+
+# ---------------- validation reject matrix ----------------
+# Deliberately broken documents the reference's Transkribus XSD pass would
+# reject (page.py:49-65 + schemas); the structural validator must reject
+# each one and accept the well-formed sample (DEVIATIONS #3).
+
+def _mutate_sample(fn):
+    doc = etree.ElementTree(etree.fromstring(SAMPLE.encode()))
+    fn(doc.getroot())
+    return doc
+
+
+def _ns(name):
+    return f"{{{C.NS_PAGE_XML}}}{name}"
+
+
+def test_validate_accepts_sample():
+    doc = etree.ElementTree(etree.fromstring(SAMPLE.encode()))
+    assert Page.validate(doc)
+
+
+def test_validate_accepts_pipeline_output(tmp_path):
+    """A document the framework itself writes must pass validation."""
+    p = tmp_path / "page" / "v.xml"
+    p.parent.mkdir()
+    p.write_text(SAMPLE)
+    page = Page(str(p))
+    region = TextRegion("tr_new", points=Points([(1, 2), (30, 2), (30, 40)]))
+    page.set_text_regions(page.get_text_regions() + [region], overwrite=True)
+    page.write_page_xml(str(tmp_path / "page" / "v_out.xml"))
+    assert Page.validate(Page(str(tmp_path / "page" / "v_out.xml")).page_doc)
+
+
+@pytest.mark.parametrize("breakage", [
+    "wrong_namespace", "not_pcgts_root", "no_page", "two_pages",
+    "no_image_dims", "no_metadata", "metadata_order", "duplicate_ids",
+    "region_without_coords", "line_without_coords", "coords_no_points",
+    "coords_float_points", "coords_negative_points", "coords_single_point",
+    "baseline_malformed",
+])
+def test_validate_rejects(breakage):
+    def mutate(root):
+        if breakage == "wrong_namespace":
+            raw = SAMPLE.replace(
+                "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15",
+                "http://example.com/not-page")
+            raise _Replace(etree.fromstring(raw.encode()))
+        if breakage == "not_pcgts_root":
+            raw = SAMPLE.replace("<PcGts", "<NotPcGts").replace(
+                "</PcGts>", "</NotPcGts>")
+            raise _Replace(etree.fromstring(raw.encode()))
+        if breakage == "no_page":
+            root.remove(root.find(_ns("Page")))
+        elif breakage == "two_pages":
+            import copy
+            root.append(copy.deepcopy(root.find(_ns("Page"))))
+        elif breakage == "no_image_dims":
+            del root.find(_ns("Page")).attrib["imageWidth"]
+        elif breakage == "no_metadata":
+            root.remove(root.find(_ns("Metadata")))
+        elif breakage == "metadata_order":
+            meta = root.find(_ns("Metadata"))
+            meta.remove(meta.find(_ns("Creator")))
+        elif breakage == "duplicate_ids":
+            line = root.find(f".//{_ns('TextLine')}")
+            line.set("id", "tr_1")   # collides with the region id
+        elif breakage == "region_without_coords":
+            region = root.find(f".//{_ns('TextRegion')}")
+            region.remove(region.find(_ns("Coords")))
+        elif breakage == "line_without_coords":
+            line = root.find(f".//{_ns('TextLine')}")
+            line.remove(line.find(_ns("Coords")))
+        elif breakage == "coords_no_points":
+            del root.find(f".//{_ns('Coords')}").attrib["points"]
+        elif breakage == "coords_float_points":
+            root.find(f".//{_ns('Coords')}").set(
+                "points", "10.5,10 990,10 990,1390")
+        elif breakage == "coords_negative_points":
+            root.find(f".//{_ns('Coords')}").set(
+                "points", "-10,10 990,10 990,1390")
+        elif breakage == "coords_single_point":
+            root.find(f".//{_ns('Coords')}").set("points", "10,10")
+        elif breakage == "baseline_malformed":
+            root.find(f".//{_ns('Baseline')}").set("points", "50,90 500;90")
+
+    class _Replace(Exception):
+        def __init__(self, new_root):
+            self.new_root = new_root
+
+    try:
+        doc = _mutate_sample(mutate)
+    except _Replace as r:
+        doc = etree.ElementTree(r.new_root)
+    assert not Page.validate(doc), breakage

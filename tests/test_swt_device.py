@@ -1,0 +1,109 @@
+"""Device SWT line features vs the host scipy path (exact parity).
+
+The heading stage's per-line features (stroke width = median of per-CC-bbox
+max DT, text height = max CC height, mean net probability over the scaled
+bbox) move to device in round 3; these tests pin the device programs to the
+host reference implementation (ops/swt.py textline_features semantics,
+mirroring heading_net_post_processor.py:211-245)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from citlab_as_tpu.ops.swt import StrokeWidthDistanceTransform
+from citlab_as_tpu.ops.swt_device import (
+    DeviceLineFeatures, net_prob_means, swt_line_stats)
+
+
+def _random_dt(rng, h, w, n_blobs=200, speck_p=0.01):
+    dt = np.zeros((h, w), np.uint8)
+    for _ in range(n_blobs):
+        y, x = rng.randint(0, h - 20), rng.randint(0, w - 20)
+        bh, bw = rng.randint(1, 18), rng.randint(1, 18)
+        dt[y:y + bh, x:x + bw] = rng.randint(1, 14)
+    dt[rng.rand(h, w) < speck_p] = rng.randint(1, 5)
+    return dt
+
+
+def _random_boxes(rng, h, w, n):
+    boxes = []
+    for _ in range(n):
+        y, x = rng.randint(0, h - 10), rng.randint(0, w - 10)
+        bh, bw = rng.randint(3, 70), rng.randint(5, 120)
+        boxes.append((x, y, bw, bh))   # may overshoot the image edge: clips
+    return boxes
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_swt_line_stats_matches_host(seed):
+    rng = np.random.RandomState(seed)
+    dt = _random_dt(rng, 300, 400)
+    # a huge blob (cleaned by size) and an extreme-aspect bar (cleaned)
+    dt[100:130, 50:330] = 2      # w=280 kept; aspect 280/30 > 8 -> cleaned
+    boxes = _random_boxes(rng, 300, 400, 24)
+    swt = StrokeWidthDistanceTransform(dark_on_bright=True)
+    host = np.array([swt.textline_features(dt, b) for b in boxes])
+    dev = np.asarray(swt_line_stats(
+        jnp.asarray(dt), jnp.asarray(np.asarray(boxes, np.int32)),
+        crop_h=128, crop_w=256))
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def test_swt_line_stats_empty_and_full():
+    dt = np.zeros((100, 200), np.uint8)
+    dt[40:60, 80:120] = 5
+    boxes = np.asarray([
+        (0, 0, 30, 30),      # empty crop -> (0, 0)
+        (70, 30, 60, 40),    # contains the blob
+        (150, 80, 80, 40),   # overshoots both edges
+    ], np.int32)
+    swt = StrokeWidthDistanceTransform(dark_on_bright=True)
+    host = np.array([swt.textline_features(dt, tuple(b)) for b in boxes])
+    dev = np.asarray(swt_line_stats(jnp.asarray(dt), jnp.asarray(boxes),
+                                    crop_h=64, crop_w=128))
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def test_net_prob_means_matches_host():
+    rng = np.random.RandomState(3)
+    prob = rng.randint(0, 256, (200, 300)).astype(np.uint8)
+    post = prob / 255.0
+    boxes = _random_boxes(rng, 200, 300, 20) + [(10, 10, 0, 5)]  # degenerate
+    host = []
+    for x, y, bw, bh in boxes:
+        if bw <= 0 or bh <= 0:
+            host.append(0.0)
+            continue
+        crop = post[y:y + bh, x:x + bw]
+        host.append(float(np.sum(crop) / (bw * bh)))
+    dev = np.asarray(net_prob_means(
+        jnp.asarray(prob), jnp.asarray(np.asarray(boxes, np.int32)),
+        crop_h=128, crop_w=256))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_device_line_features_bridge():
+    rng = np.random.RandomState(4)
+    dt = _random_dt(rng, 250, 350)
+    prob = rng.randint(0, 256, (150, 210)).astype(np.uint8)
+    swt_boxes = np.asarray(_random_boxes(rng, 250, 350, 9), np.int32)
+    net_boxes = (swt_boxes * 0.6).astype(np.int32)
+    # one invalid line (no surrounding polygon)
+    swt_boxes[4] = (-1, -1, -1, -1)
+    net_boxes[4] = (-1, -1, -1, -1)
+
+    feats = DeviceLineFeatures()
+    netp, sw_th = feats(jnp.asarray(dt), jnp.asarray(prob),
+                        swt_boxes, net_boxes)
+
+    swt = StrokeWidthDistanceTransform(dark_on_bright=True)
+    post = prob / 255.0
+    for i, (x, y, bw, bh) in enumerate(swt_boxes):
+        if bw < 0:
+            assert netp[i] == 0.0 and tuple(sw_th[i]) == (0.0, 0.0)
+            continue
+        hsw, hth = swt.textline_features(dt, (x, y, bw, bh))
+        np.testing.assert_allclose(sw_th[i], [hsw, hth], atol=1e-6)
+        nx, ny, nw, nh = net_boxes[i]
+        crop = post[ny:ny + nh, nx:nx + nw]
+        np.testing.assert_allclose(
+            netp[i], np.sum(crop) / (nw * nh), atol=1e-5)

@@ -225,7 +225,17 @@ def test_e2e_article_f1_against_ground_truth(tmp_path):
                         "--path_to_hy_xml_lst", hy_lst,
                         "--min_tol", "10", "--max_tol", "30"])
     as_r, as_p, as_f = out["as"]
-    assert as_f > 0.9, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
+    # measured 1.0 on this clean corpus (PARITY.md quality table);
+    # assert within ~2 points so silent regressions surface
+    assert as_f > 0.98, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
+    # split/merge partition distance (asCompTools.py semantics) on the
+    # same GT/HYP pair: the clean-corpus partition must be near-exact
+    from citlab_as_tpu.eval.compare import SepPageBlComper
+    comper = SepPageBlComper()
+    comper.loadGT(gt_path)
+    comparison = comper.compareTo(hyp_path)
+    assert comparison.checkConsistency()
+    assert comparison.splits + comparison.merges <= 2, str(comparison)
 
 
 @pytest.mark.skipif(
@@ -274,7 +284,8 @@ def test_e2e_all_trained_models_article_f1(tmp_path):
                         "--path_to_hy_xml_lst", hy_lst,
                         "--min_tol", "10", "--max_tol", "30"])
     as_r, as_p, as_f = out["as"]
-    assert as_f > 0.9, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
+    # measured 1.0 on clean corpora (PARITY.md quality table)
+    assert as_f > 0.98, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
 
 
 @pytest.mark.skipif(not _ckpt_exists(HEAD_CKPT), reason="no heading checkpoint")
@@ -383,7 +394,8 @@ def test_blind_e2e_multi_article_f1(tmp_path):
                         "--path_to_hy_xml_lst", hy_lst,
                         "--min_tol", "10", "--max_tol", "30"])
     as_r, as_p, as_f = out["as"]
-    assert as_f > 0.9, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
+    # measured 1.0 on clean corpora (PARITY.md quality table)
+    assert as_f > 0.98, f"AS F1 {as_f} too low (R={as_r}, P={as_p})"
 
 
 @pytest.mark.skipif(
@@ -440,7 +452,8 @@ def test_blind_e2e_hard_corpus_f1(tmp_path):
     as_r, as_p, as_f = out["as"]
     bd_r, bd_p, bd_f = out["bd"]
     assert bd_f > 0.9, f"baseline-detection F1 {bd_f} too low"
-    assert as_f > 0.9, f"hard-corpus AS F1 {as_f} too low (R={as_r}, P={as_p})"
+    # measured ~0.988 on the faded-rules corpus (PARITY.md quality table)
+    assert as_f > 0.96, f"hard-corpus AS F1 {as_f} too low (R={as_r}, P={as_p})"
 
 
 GNN_VISUAL_CKPT = os.path.join(REPO, "models_ckpt", "gnn_visual", "best", "f1")
@@ -497,7 +510,8 @@ def test_blind_e2e_visual_gnn_f1(tmp_path):
                         "--path_to_hy_xml_lst", hy_lst,
                         "--min_tol", "10", "--max_tol", "30"])
     as_r, as_p, as_f = out["as"]
-    assert as_f > 0.8, f"visual-GNN AS F1 {as_f} too low (R={as_r}, P={as_p})"
+    # measured ~0.89+ with the ARU_cutted visual backbone (PARITY.md)
+    assert as_f > 0.85, f"visual-GNN AS F1 {as_f} too low (R={as_r}, P={as_p})"
 
     # guard against a degenerate (constant-output) net passing vacuously on
     # pages whose DBSCAN regions are already article-pure: the confidence
