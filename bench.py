@@ -33,6 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from citlab_as_tpu.utils.compile_cache import enable as _enable_compile_cache
+_enable_compile_cache()
+
 H, W = 1536, 1024
 BATCH = 7        # measured v5e sweet spot; XLA's conv schedule regresses B>=8
 PAGES = 14       # two full batches (compile warm-up uses the first group)

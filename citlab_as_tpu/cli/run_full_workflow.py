@@ -70,6 +70,7 @@ def run_full_workflow(image_paths: Sequence[str],
     # 2. heading detection, chained onto the separator-stage output pages
     # (updated in place via page_paths + empty save_suffix); batched +
     # dispatch-ahead, fused device path on accelerator backends
+    heading_line_features = None
     if not skip_heading:
         heading_predictor = heading_predictor or SegmentationPredictor(heading_model_dir)
         proc = HeadingNetPostProcessor(
@@ -78,6 +79,7 @@ def run_full_workflow(image_paths: Sequence[str],
             page_paths=page_paths, save_suffix="")
         timed("heading", lambda: proc.run_batched(batch_size=batch_size)
               if len(image_paths) > 1 else proc.run())
+        heading_line_features = proc.line_features_by_page
 
     # 3. baseline clustering + 4. text regions
     def run_clustering():
@@ -98,7 +100,8 @@ def run_full_workflow(image_paths: Sequence[str],
         visual = bool(getattr(gnn_predictor, "image_input", False))
         json_paths = timed("features", lambda: generate_feature_jsons(
             page_paths, visual_regions=visual, separators="bb",
-            image_paths=list(image_paths)))
+            image_paths=list(image_paths),
+            line_features=heading_line_features))
 
         def run_gnn():
             # ONE relation-net forward per page group (union-graph batching)
@@ -130,14 +133,14 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                                 heading_fixed_height: int = 900) -> dict:
     """Wave-pipelined production driver (accelerator backends).
 
-    Three-stage software pipeline over same-shape page groups, ordered so
-    that every SMALL device program is enqueued before the next group's BIG
-    fused programs (the in-order device queue would otherwise stall the
-    host on them):
+    Three-stage software pipeline over same-shape page groups. Small device
+    programs dispatched during a wave land BEHIND the next group's big fused
+    programs in the in-order device queue — so their drains run one wave
+    LATER, after the barrier that waits out those big programs anyway:
 
       wave i:  sep-materialize(i-1)            <- the only real barrier
+               dispatch big fused programs(i)  <- overlaps everything below
                sep host work(i-1) + per-page heading line-feature dispatch
-               dispatch big fused programs(i)  <- overlaps the rest
                heading finish(i-2), baselines/regions/features(i-2),
                  batched-GNN dispatch(i-2)
                GNN materialize(i-3) + clustering(i-3)
@@ -263,7 +266,8 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
 
             json_paths = part("features", lambda: generate_feature_jsons(
                 page_paths, visual_regions=visual, separators="bb",
-                image_paths=list(pchunk)))
+                image_paths=list(pchunk),
+                line_features=head_proc.line_features_by_page))
             _, materialize = part("gnn_dispatch", lambda: gnn_confidences_dispatch(
                 json_paths, gnn_predictor, image_paths=list(pchunk)))
             new_gnn = (materialize, json_paths, page_paths, pchunk)
@@ -319,6 +323,8 @@ def main(argv: Optional[Sequence[str]] = None):
                              "overlaps device compute (accelerator only)")
     args = parser.parse_args(argv)
 
+    from citlab_as_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     image_paths = load_list_file(args.path_to_image_list)
     if args.pipelined and not args.skip_heading and not args.skip_gnn:
         result = run_full_workflow_pipelined(

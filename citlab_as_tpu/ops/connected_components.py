@@ -154,12 +154,33 @@ def _component_sizes(labels: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=())
 def remove_small_components(binary: jnp.ndarray, min_size: jnp.ndarray) -> jnp.ndarray:
     """Zero out components smaller than ``min_size`` pixels; survivors become
-    255 (apply_cc_analysis semantics, base:230-251)."""
+    255 (apply_cc_analysis semantics, base:230-251).
+
+    The per-root sizes land exactly at the ROOT pixels when reshaped (the
+    label IS the root's flat index), so the size value can seed there and
+    flow to the rest of the component through the same run/window max
+    propagation the labeling uses — a per-pixel ``sizes[labels]`` gather
+    here measured ~20 ms at 1536x1024 on v5e, the propagation ~5 ms."""
+    from citlab_as_tpu.ops.swt_device import _propagate_step
+
     labels = connected_components(binary)
     sizes = _component_sizes(labels)
+    h, w = labels.shape
     fg = labels < _BG
-    safe = jnp.where(fg, labels, 0)
-    keep = fg & (sizes[safe.ravel()].reshape(labels.shape) >= min_size)
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+           + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
+    isroot = fg & (labels == idx)
+    size_field = jnp.where(isroot, sizes.reshape(h, w).astype(jnp.int32), -1)
+
+    def body(carry):
+        v, _, it = carry
+        nv = _propagate_step(v, fg, maximize=True)
+        return nv, jnp.any(nv != v), it + 1
+
+    size_field, _, _ = jax.lax.while_loop(
+        lambda c: c[1] & (c[2] < 256), body,
+        (size_field, jnp.bool_(True), 0))
+    keep = fg & (size_field >= min_size)
     return jnp.where(keep, 255, 0).astype(jnp.uint8)
 
 

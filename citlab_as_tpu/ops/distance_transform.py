@@ -64,10 +64,19 @@ def distance_transform_edt(binary: jnp.ndarray, cap: float = 0.0) -> jnp.ndarray
         return jnp.where(sy_ >= _BIG, jnp.float32(jnp.inf), dy * dy + dx * dx)
 
     max_dim = max(h, w)
-    steps = []
     k = 1
     while k < max_dim:
         k <<= 1
+    if cap > 0:
+        # distances are clipped at ``cap``: seeds farther than cap+1 never
+        # matter, and the step series k, k/2, ..., 1 reaches any seed within
+        # 2k-1 — so the initial step can clamp to pow2ceil(cap+1) (pixels
+        # with no reachable seed report inf -> clipped to cap)
+        limit = 1
+        while limit < cap + 1:
+            limit <<= 1
+        k = min(k, limit)
+    steps = []
     while k >= 1:
         steps.append(k)
         k >>= 1

@@ -109,9 +109,31 @@ def get_text_region_baseline_features(text_region, norm_x, norm_y) -> List[float
 
 def get_textline_stroke_widths_heights(page_path, text_lines,
                                        img_path: Optional[str] = None,
-                                       image: Optional[np.ndarray] = None):
+                                       image: Optional[np.ndarray] = None,
+                                       precomputed: Optional[dict] = None):
     """SWT stroke width / text height per text line
-    (feature_generation.py:105-159); the distance transform runs on device."""
+    (feature_generation.py:105-159); the distance transform runs on device.
+
+    ``precomputed``: {line_id: ((x, y, w, h), sw, th)} saved by the heading
+    stage's device path (same quantities for the same lines) — when every
+    line matches by id AND bbox, the host distance transform is skipped
+    entirely."""
+    if precomputed is not None:
+        stroke_widths, heights = {}, {}
+        for text_line in text_lines:
+            entry = precomputed.get(text_line.id)
+            if entry is None:
+                break
+            pts = np.asarray(text_line.surr_p.points_list, dtype=np.int32)
+            min_x, max_x, min_y, max_y = get_bounding_box(pts)
+            if tuple(entry[0]) != (min_x, min_y, max_x - min_x,
+                                   max_y - min_y):
+                break   # line geometry changed since heading: recompute
+            stroke_widths[text_line.id] = entry[1]
+            heights[text_line.id] = entry[2]
+        else:
+            return stroke_widths, heights
+
     swt = StrokeWidthDistanceTransform(dark_on_bright=True)
     if image is None:
         if img_path is None:
@@ -341,7 +363,8 @@ def build_input_and_target(page_path: str,
                            sim_feat_extractor=None,
                            separators: str = "bb",
                            image: Optional[np.ndarray] = None,
-                           img_path: Optional[str] = None) -> Optional[dict]:
+                           img_path: Optional[str] = None,
+                           precomputed_swt: Optional[dict] = None) -> Optional[dict]:
     """Graph input + GT for one page (feature_generation.py:594-813).
     Returns a dict with the reference's JSON schema keys, or None when the
     page has < 2 usable regions."""
@@ -364,7 +387,8 @@ def build_input_and_target(page_path: str,
         return None
 
     stroke_widths, heights = get_textline_stroke_widths_heights(
-        page_path, text_lines, img_path=img_path, image=image)
+        page_path, text_lines, img_path=img_path, image=image,
+        precomputed=precomputed_swt)
     sw_max = max(stroke_widths.values()) if stroke_widths else 1.0
     th_max = max(heights.values()) if heights else 1.0
     sw_max = sw_max or 1.0
@@ -484,9 +508,14 @@ def generate_feature_jsons(page_paths: Sequence[str],
                            json_list: Optional[Sequence[str]] = None,
                            tb_similarity_setup=(None, None),
                            separators: str = "line",
-                           image_paths: Optional[Sequence[str]] = None) -> List[str]:
+                           image_paths: Optional[Sequence[str]] = None,
+                           line_features: Optional[dict] = None) -> List[str]:
     """Write one graph-feature JSON per page (feature_generation.py:816-911).
-    Returns the list of written paths."""
+    Returns the list of written paths. ``line_features``:
+    {page_path: {line_id: (bbox, stroke_width, text_height)}} from the
+    heading stage's device path — reused instead of recomputing the host
+    distance transform (the two stages need the same per-line quantities,
+    heading_net_post_processor.py:211-245 vs feature_generation.py:105-159)."""
     external = []
     if json_list:
         for json_path in json_list:
@@ -513,7 +542,8 @@ def generate_feature_jsons(page_paths: Sequence[str],
         out = build_input_and_target(
             page_path, interaction=interaction, visual_regions=visual_regions,
             external_data=external, sim_feat_extractor=sim_feat_extractor,
-            separators=separators, image=image, img_path=img_path)
+            separators=separators, image=image, img_path=img_path,
+            precomputed_swt=(line_features or {}).get(page_path))
         if out is None:
             skipped.append(page_path)
             continue

@@ -150,6 +150,11 @@ class HeadingNetPostProcessor:
         # auto (on for accelerator backends, off on CPU where scipy wins)
         self.use_device_swt: Optional[bool] = None
         self._device_features = None
+        # device path: saved per-line (bbox, stroke_width, text_height) per
+        # page — the GNN feature stage needs the SAME quantities for the
+        # same lines (feature_generation.py:105-159) and can reuse them
+        # instead of recomputing a host distance transform
+        self.line_features_by_page: Dict[str, Dict] = {}
 
     def _page_path_for(self, image_path: str) -> str:
         if self.page_paths is not None:
@@ -409,7 +414,7 @@ class HeadingNetPostProcessor:
         if self._device_features is None:
             self._device_features = DeviceLineFeatures()
 
-        entries = []
+        pages, swt_list, net_list = [], [], []
         for i, image_path in enumerate(chunk):
             page_path = self._page_path_for(image_path)
             writer = RegionToPageWriter(
@@ -419,10 +424,13 @@ class HeadingNetPostProcessor:
             text_lines = writer.page_object.get_textlines()
             swt_boxes, net_boxes = self.line_feature_boxes(
                 text_lines, writer.scaling_factor)
-            handle = self._device_features.dispatch(
-                dt_u8[i], maps_u8[i], swt_boxes, net_boxes)
-            entries.append((image_path, page_path, writer, text_lines, handle))
-        return ("device", entries)
+            pages.append((image_path, page_path, writer, text_lines))
+            swt_list.append(swt_boxes)
+            net_list.append(net_boxes)
+        # ONE device dispatch for the whole group's line features
+        handle = self._device_features.dispatch_batch(
+            dt_u8, maps_u8, swt_list, net_list)
+        return ("device", (pages, handle))
 
     def fused_drain_finish(self, state, pages_by_path: dict) -> None:
         """Second half: materialize the [n_lines, 3] feature scalars (or, on
@@ -447,13 +455,21 @@ class HeadingNetPostProcessor:
             return
 
         net_on = self.weight_dict["net"] > 0
-        for image_path, page_path, writer, text_lines, handle in payload:
-            netp, sw_th = handle()
+        pages, handle = payload
+        results = handle()
+        for (image_path, page_path, writer, text_lines), (netp, sw_th) in zip(
+                pages, results):
             net_prob, sw_raw, th_raw = {}, {}, {}
+            saved = {}
             for j, tl in enumerate(text_lines):
                 net_prob[tl.id] = float(netp[j]) if net_on else 0.0
                 sw_raw[tl.id] = float(sw_th[j, 0])
                 th_raw[tl.id] = int(sw_th[j, 1])
+                if tl.surr_p is not None:
+                    bb = tl.surr_p.to_polygon().get_bounding_box()
+                    saved[tl.id] = ((bb.x, bb.y, bb.width, bb.height),
+                                    sw_raw[tl.id], th_raw[tl.id])
+            self.line_features_by_page[page_path + self.save_suffix] = saved
             self.classify_from_features(writer.page_object, text_lines,
                                         net_prob, sw_raw, th_raw)
             writer.save_page_xml(page_path + self.save_suffix)
