@@ -220,19 +220,37 @@ def _link_rings(segments) -> List[Ring]:
 
 
 def _simplify_ring(ring: Ring) -> Ring:
-    """Drop repeated and collinear intermediate vertices."""
-    arr = np.asarray(ring, np.float64)
-    keep = []
-    n = arr.shape[0]
-    for i in range(n):
-        p, q, r = arr[i - 1], arr[i], arr[(i + 1) % n]
-        if np.hypot(*(q - p)) < _SNAP:
+    """Drop repeated and collinear intermediate vertices.
+
+    Two separate passes: near-duplicates first (junction self-loops produce
+    consecutive vertices ~1e-14 apart), THEN collinearity against the KEPT
+    neighbors — a single fused pass tested each vertex against its original
+    neighbor, so a vertex following a dropped near-duplicate saw a ~0-length
+    incoming edge, its cross product vanished, and real corners cascaded
+    away (measured: a 769-area ring simplified to 647)."""
+    pts: Ring = []
+    for q in ring:
+        if pts and math.hypot(q[0] - pts[-1][0], q[1] - pts[-1][1]) < _SNAP:
             continue
-        cross = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
-        if abs(cross) < _SNAP:
-            continue
-        keep.append((float(q[0]), float(q[1])))
-    return keep
+        pts.append((float(q[0]), float(q[1])))
+    while len(pts) > 1 and math.hypot(pts[0][0] - pts[-1][0],
+                                      pts[0][1] - pts[-1][1]) < _SNAP:
+        pts.pop()
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        out: Ring = []
+        n = len(pts)
+        for i in range(n):
+            p, q, r = pts[i - 1], pts[i], pts[(i + 1) % n]
+            cross = (q[0] - p[0]) * (r[1] - p[1]) \
+                - (q[1] - p[1]) * (r[0] - p[0])
+            if abs(cross) < _SNAP:
+                changed = True
+                continue
+            out.append(q)
+        pts = out
+    return pts
 
 
 def _signed_area(ring: Ring) -> float:
@@ -281,6 +299,10 @@ def polygon_boolean(a: Rings, b: Rings, op: str = "difference") -> List[Rings]:
             seen[k] -= 1
             survivors.append((p, q))
     survivors.extend(_horizontal_pieces(cover))
+    # zero-length in snap space (p and q round to the same grid point):
+    # these are float-noise self-loops whose direction is meaningless —
+    # they would feed garbage angles to the junction rule in _link_rings
+    survivors = [(p, q) for p, q in survivors if _key(*p) != _key(*q)]
 
     rings = _link_rings(survivors)
     exteriors = [(r, _signed_area(r)) for r in rings if _signed_area(r) > 0]

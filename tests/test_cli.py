@@ -224,9 +224,17 @@ def test_full_workflow_pipelined_forced_matches_sequential(tmp_path):
         force=True, **kw)
     assert len(res["clustered"]) == 5
 
+    import re
+
+    def normalized(path):
+        # the writers stamp LastChange with the wall clock; the two driver
+        # runs may cross a second boundary — not a semantic difference
+        return re.sub(rb"<LastChange>[^<]*</LastChange>", b"<LastChange/>",
+                      path.read_bytes())
+
     for i in range(5):
-        a = (tmp_path / "seq" / "page" / f"p{i}.xml.xml").read_bytes()
-        b = (tmp_path / "pipe" / "page" / f"p{i}.xml.xml").read_bytes()
+        a = normalized(tmp_path / "seq" / "page" / f"p{i}.xml.xml")
+        b = normalized(tmp_path / "pipe" / "page" / f"p{i}.xml.xml")
         assert a == b, f"page {i} xml differs between drivers"
     seq_clusters = sorted(
         p for p in (tmp_path / "seq" / "clustering").rglob("*.xml"))
@@ -234,4 +242,4 @@ def test_full_workflow_pipelined_forced_matches_sequential(tmp_path):
         p for p in (tmp_path / "pipe" / "clustering").rglob("*.xml"))
     assert len(seq_clusters) == len(pipe_clusters) == 5
     for a, b in zip(seq_clusters, pipe_clusters):
-        assert a.read_bytes() == b.read_bytes(), f"{a} differs"
+        assert normalized(a) == normalized(b), f"{a} differs"
