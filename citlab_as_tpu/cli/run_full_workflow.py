@@ -67,6 +67,31 @@ def run_full_workflow(image_paths: Sequence[str],
     # The separator stage writes <page>.xml.xml; subsequent stages read those
     page_paths = [get_page_path(p) + ".xml" for p in image_paths]
 
+    from citlab_as_tpu.pagexml.page import page_cache
+    with page_cache():
+        return _run_post_separator_stages(
+            image_paths, page_paths, heading_model_dir, gnn_model_dir,
+            clustering_method, out_dir, skip_heading, skip_gnn, timings,
+            timed, heading_predictor, gnn_predictor, batch_size,
+            heading_fixed_height)
+
+
+def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
+                               gnn_model_dir, clustering_method, out_dir,
+                               skip_heading, skip_gnn, timings, timed,
+                               heading_predictor, gnn_predictor, batch_size,
+                               heading_fixed_height):
+    """Stages 2-5 of :func:`run_full_workflow`, run inside a page_cache()
+    scope: each stage re-reads the page file the previous stage just wrote,
+    so the scoped parse memo removes one DOM parse per stage per page
+    (files are still written — the on-disk contract is unchanged)."""
+    from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
+    from citlab_as_tpu.stages.baseline_clustering import cluster_page
+    from citlab_as_tpu.stages.features import generate_feature_jsons
+    from citlab_as_tpu.stages.gnn_io import gnn_clustering_for_pages
+    from citlab_as_tpu.stages.heading import HeadingNetPostProcessor
+    from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
+
     # 2. heading detection, chained onto the separator-stage output pages
     # (updated in place via page_paths + empty save_suffix); batched +
     # dispatch-ahead, fused device path on accelerator backends

@@ -533,16 +533,14 @@ def generate_feature_jsons(page_paths: Sequence[str],
     start = time.time()
     for idx, page_path in enumerate(page_paths):
         logger.info("Processing... %s", page_path)
-        image = None
-        img_path = None
-        if image_paths is not None:
-            from citlab_as_tpu.utils.io import load_image
-            img_path = image_paths[idx]
-            image = load_image(img_path, mode="L")
+        # img_path only: get_textline_stroke_widths_heights loads the image
+        # lazily iff the heading stage's precomputed per-line features miss
+        # (id/bbox mismatch) — on the hit path the page image is never read
+        img_path = image_paths[idx] if image_paths is not None else None
         out = build_input_and_target(
             page_path, interaction=interaction, visual_regions=visual_regions,
             external_data=external, sim_feat_extractor=sim_feat_extractor,
-            separators=separators, image=image, img_path=img_path,
+            separators=separators, img_path=img_path,
             precomputed_swt=(line_features or {}).get(page_path))
         if out is None:
             skipped.append(page_path)
