@@ -232,18 +232,36 @@ def swt_line_stats(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
     return _line_stats_from_crops(crops, clean_ccs)
 
 
+# crops processed per lax.map step of the batch stats program: bounds the
+# live working set to CHUNK * crop_h * crop_w * ~6 int32 channels (~50 MB at
+# the production 64x512 bucket) instead of materializing the full
+# [B*L, crop_h, crop_w] stack (~0.8 GB); per-crop independence makes the
+# chunking exact, and each chunk's component fixpoint converges on its own
+# iteration count
+_STATS_CHUNK = 64
+
+
 @partial(jax.jit, static_argnames=("crop_h", "crop_w", "clean_ccs"))
 def swt_line_stats_batch(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
                          crop_h: int, crop_w: int, clean_ccs: int = 2):
     """Page-group variant: ``dt_u8`` [B, H, W], ``boxes`` [B, L, 4] ->
-    [B, L, 2]. All pages' crops run through ONE component fixpoint (the
-    while_loop converges to the max iteration count across the group either
-    way; batching saves B-1 dispatches of ~5-10 ms tunnel latency each)."""
+    [B, L, 2]. The group's crops stream through one program in
+    ``_STATS_CHUNK``-sized chunks (lax.map), each chunk running the
+    component fixpoint independently — one dispatch total (vs B per-page
+    dispatches of ~5-10 ms tunnel latency each) with a bounded working
+    set."""
     b, l = boxes.shape[:2]
     padded = jnp.pad(dt_u8.astype(jnp.int32),
                      ((0, 0), (0, crop_h), (0, crop_w)))
     flat = boxes.reshape(b * l, 4)
     page = (jnp.arange(b * l, dtype=jnp.int32) // l)[:, None]
+    entries = jnp.concatenate([flat, page], axis=1)       # [B*L, 5]
+
+    n = entries.shape[0]
+    chunk = min(_STATS_CHUNK, n)
+    n_pad = -n % chunk
+    if n_pad:
+        entries = jnp.pad(entries, ((0, n_pad), (0, 0)))
 
     def one(entry):
         # dynamic_slice with a unit page axis stays a DMA (vmapping the
@@ -252,13 +270,17 @@ def swt_line_stats_batch(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
             padded, (entry[4], entry[1], entry[0]),
             (1, crop_h, crop_w))[0]
 
-    crops = jax.lax.map(one, jnp.concatenate([flat, page], axis=1))
     rr = jax.lax.broadcasted_iota(jnp.int32, (1, crop_h, crop_w), 1)
     cc = jax.lax.broadcasted_iota(jnp.int32, (1, crop_h, crop_w), 2)
-    valid = ((rr <= flat[:, 3][:, None, None])
-             & (cc <= flat[:, 2][:, None, None]))
-    out = _line_stats_from_crops(jnp.where(valid, crops, 0), clean_ccs)
-    return out.reshape(b, l, 2)
+
+    def do_chunk(ch_entries):                             # [chunk, 5]
+        crops = jax.lax.map(one, ch_entries)
+        valid = ((rr <= ch_entries[:, 3][:, None, None])
+                 & (cc <= ch_entries[:, 2][:, None, None]))
+        return _line_stats_from_crops(jnp.where(valid, crops, 0), clean_ccs)
+
+    out = jax.lax.map(do_chunk, entries.reshape(-1, chunk, 5))
+    return out.reshape(-1, 2)[:n].reshape(b, l, 2)
 
 
 @partial(jax.jit, static_argnames=("crop_h", "crop_w"))
@@ -392,6 +414,15 @@ class DeviceLineFeatures:
         self._net_crop[1] = max(self._net_crop[1],
                                 _pow2(int(nb[..., 2].max(initial=0))))
         b = len(counts)
+        import os as _os
+        if _os.environ.get("SWT_DEVICE_DEBUG"):
+            print(f"dispatch_batch: b={b} counts={counts} lb={sb.shape[1]} "
+                  f"swt_crop={self._swt_crop} net_crop={self._net_crop} "
+                  f"sb_min={sb.reshape(-1, 4).min(0)} "
+                  f"sb_max={sb.reshape(-1, 4).max(0)} "
+                  f"nb_min={nb.reshape(-1, 4).min(0)} "
+                  f"nb_max={nb.reshape(-1, 4).max(0)} "
+                  f"dt={dt_dev.shape} prob={prob_dev.shape}", flush=True)
         sw_th_dev = swt_line_stats_batch(dt_dev[:b], jnp.asarray(sb),
                                          crop_h=self._swt_crop[0],
                                          crop_w=self._swt_crop[1])
