@@ -431,6 +431,14 @@ class DeviceLineFeatures:
                                        crop_w=self._net_crop[1])
 
         def materialize():
+            # Tunnel-race workaround (axon plugin): a bulk readback racing
+            # the still-executing per-line chain sporadically poisons the
+            # client with INVALID_ARGUMENT (second drain in a process,
+            # deterministic under separator residency — scripts/
+            # debug_min_repro10.py). A 4-byte scalar read first forces the
+            # chain to completion before the bulk reads; with it, the
+            # step-barriered variant (debug_min_repro12.py) runs clean.
+            _ = np.asarray(sw_th_dev.ravel()[0])
             sums = np.asarray(sums_dev, np.float64)
             sw_th_all = np.array(sw_th_dev)
             out = []
