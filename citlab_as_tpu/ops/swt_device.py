@@ -362,6 +362,22 @@ def _pow2(n: int, floor: int = 8) -> int:
     return b
 
 
+def _barrier(x) -> None:
+    """Force one device value to completion via a 4-byte scalar readback.
+
+    Axon-tunnel race mitigation (ROUND3_NOTES.md): on the second fully
+    compile-cached execution of the per-line chain in a process, any bulk
+    readback — and even a trailing scalar read — racing the still-queued
+    chain poisons the PJRT client with a message-less INVALID_ARGUMENT.
+    The ONLY configuration observed to never crash (debug_min_repro12.py,
+    deterministic-crasher inputs) serializes the chain with a barrier after
+    EVERY device action: uploads, slices, and each program. Each barrier is
+    a single small tunnel roundtrip; the chain runs once per page group, so
+    the amortized cost is a few ms/page against the ~0.25 s/page host SWT
+    path it replaces."""
+    _ = np.asarray(x.ravel()[0])
+
+
 class DeviceLineFeatures:
     """Host bridge: pick static buckets, pad boxes, dispatch the jitted
     programs against device-resident DT / probability maps, slice results.
@@ -423,22 +439,34 @@ class DeviceLineFeatures:
                   f"nb_min={nb.reshape(-1, 4).min(0)} "
                   f"nb_max={nb.reshape(-1, 4).max(0)} "
                   f"dt={dt_dev.shape} prob={prob_dev.shape}", flush=True)
-        sw_th_dev = swt_line_stats_batch(dt_dev[:b], jnp.asarray(sb),
+        from citlab_as_tpu.ops.device_hold import hold as _hold
+        # step-barriered chain (see _barrier): every device action completes
+        # on a quiet queue before the next is enqueued
+        _barrier(dt_dev)
+        _barrier(prob_dev)
+        sb_dev = jnp.asarray(sb)
+        _barrier(sb_dev)
+        nb_dev = jnp.asarray(nb)
+        _barrier(nb_dev)
+        dt_s = dt_dev[:b]
+        _barrier(dt_s)
+        prob_s = prob_dev[:b]
+        _barrier(prob_s)
+        sw_th_dev = swt_line_stats_batch(dt_s, sb_dev,
                                          crop_h=self._swt_crop[0],
                                          crop_w=self._swt_crop[1])
-        sums_dev = net_prob_sums_batch(prob_dev[:b], jnp.asarray(nb),
+        _barrier(sw_th_dev)
+        sums_dev = net_prob_sums_batch(prob_s, nb_dev,
                                        crop_h=self._net_crop[0],
                                        crop_w=self._net_crop[1])
+        _barrier(sums_dev)
+        # pin the chain's buffers: their refs dropping mid-queue later
+        # (next group executing) is the suspected relay poison
+        _hold(dt_dev, prob_dev, sb_dev, nb_dev, dt_s, prob_s,
+              sw_th_dev, sums_dev)
 
         def materialize():
-            # Tunnel-race workaround (axon plugin): a bulk readback racing
-            # the still-executing per-line chain sporadically poisons the
-            # client with INVALID_ARGUMENT (second drain in a process,
-            # deterministic under separator residency — scripts/
-            # debug_min_repro10.py). A 4-byte scalar read first forces the
-            # chain to completion before the bulk reads; with it, the
-            # step-barriered variant (debug_min_repro12.py) runs clean.
-            _ = np.asarray(sw_th_dev.ravel()[0])
+            # every step above is barriered, so these read completed buffers
             sums = np.asarray(sums_dev, np.float64)
             sw_th_all = np.array(sw_th_dev)
             out = []

@@ -397,6 +397,8 @@ class HeadingNetPostProcessor:
             maps_u8, dt_u8 = out
         else:
             maps_u8, dt_u8 = out, None
+        from citlab_as_tpu.ops.device_hold import hold
+        hold(batch, maps_u8, dt_u8)
         return (chunk, maps_u8, dt_u8, orig)
 
     def fused_drain_dispatch(self, entry):
@@ -432,13 +434,25 @@ class HeadingNetPostProcessor:
             dt_u8, maps_u8, swt_list, net_list)
         return ("device", (pages, handle))
 
-    def fused_drain_finish(self, state, pages_by_path: dict) -> None:
-        """Second half: materialize the [n_lines, 3] feature scalars (or, on
-        the host path, the probability maps + host SWT), classify, save."""
+    def fused_materialize(self, state):
+        """Read back one group's per-line feature scalars (device path) or
+        probability maps (host path). On the axon tunnel this MUST run
+        before any further device dispatch/upload: a readback racing
+        later-enqueued programs or an in-flight upload poisons the client
+        (ROUND3_NOTES.md). Returns the input for :meth:`fused_finish`."""
         kind, payload = state
         if kind == "host":
             chunk, maps_u8, _dt, images = payload
-            maps_np = np.asarray(maps_u8)
+            return ("host", (chunk, np.asarray(maps_u8), images))
+        pages, handle = payload
+        return ("device", (pages, handle()))
+
+    def fused_finish(self, materialized, pages_by_path: dict) -> None:
+        """Pure host tail: classification + XML write for one materialized
+        group — safe to overlap the next group's device execution."""
+        kind, payload = materialized
+        if kind == "host":
+            chunk, maps_np, images = payload
             for image_path, net_u8, image in zip(chunk, maps_np, images):
                 net_output_post = net_u8 / 255.0
                 swt_feature_image = self.swt.distance_transform(
@@ -455,8 +469,7 @@ class HeadingNetPostProcessor:
             return
 
         net_on = self.weight_dict["net"] > 0
-        pages, handle = payload
-        results = handle()
+        pages, results = payload
         for (image_path, page_path, writer, text_lines), (netp, sw_th) in zip(
                 pages, results):
             net_prob, sw_raw, th_raw = {}, {}, {}
@@ -475,6 +488,10 @@ class HeadingNetPostProcessor:
             writer.save_page_xml(page_path + self.save_suffix)
             pages_by_path[image_path] = writer.page_object
 
+    def fused_drain_finish(self, state, pages_by_path: dict) -> None:
+        """Materialize + classify one group (see the split halves)."""
+        self.fused_finish(self.fused_materialize(state), pages_by_path)
+
     def fused_drain(self, entry, pages_by_path: dict) -> None:
         """Materialize one group's heading results; classification + XML on
         host. Device-SWT path: the DT / probability images never leave the
@@ -484,21 +501,32 @@ class HeadingNetPostProcessor:
 
     def run_batched_fused(self, batch_size: int = 4) -> List:
         """Fused device path (see :func:`make_fused_heading_fn`): uint8
-        originals up, quantized uint8 heading maps down; SWT + classification
-        on host overlap the next chunk's device dispatch."""
+        originals up, quantized uint8 heading maps down; classification +
+        XML host work of group i-1 overlaps group i's device programs.
+
+        Queue discipline (axon tunnel, ROUND3_NOTES.md): each group's
+        readback happens IMMEDIATELY after its own dispatch chain, before
+        any further dispatch or upload — a readback racing later-enqueued
+        programs or an in-flight upload deterministically poisons the
+        client with INVALID_ARGUMENT. The previous group's pure-host tail
+        (classification + XML write) is deferred to just after the next
+        group's big dispatch, so it overlaps that group's device
+        execution instead."""
         from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
 
         pages_by_path: dict = {}
-        in_flight = None
+        pending = None
         max_batch = min(batch_size,
                         getattr(self.predict_fn, "MAX_DEVICE_BATCH", batch_size))
         groups = SeparatorNetPostProcessor.group_by_shape(
             self.image_paths, max_batch)
         for images, chunk in groups:
             entry = self.fused_dispatch(images, chunk, max_batch)
-            if in_flight is not None:
-                self.fused_drain(in_flight, pages_by_path)
-            in_flight = entry
-        if in_flight is not None:
-            self.fused_drain(in_flight, pages_by_path)
+            if pending is not None:
+                # overlaps the big program just dispatched
+                self.fused_finish(pending, pages_by_path)
+            state = self.fused_drain_dispatch(entry)
+            pending = self.fused_materialize(state)
+        if pending is not None:
+            self.fused_finish(pending, pages_by_path)
         return [pages_by_path[p] for p in self.image_paths]

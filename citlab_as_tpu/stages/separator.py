@@ -331,6 +331,8 @@ class SeparatorNetPostProcessor:
             h_kernel=h_kernel, v_kernel=v_kernel, noise_kernel=noise_kernel,
             threshold=self.threshold,
             pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
+        from citlab_as_tpu.ops.device_hold import hold
+        hold(batch, h_packed, v_packed)
         return (chunk, h_packed, v_packed, out_w, [sc] * len(chunk))
 
     def fused_materialize(self, entry):
