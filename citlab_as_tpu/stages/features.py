@@ -37,10 +37,16 @@ logger = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------- helpers
 
-def get_bounding_box(points: np.ndarray):
-    """(min_x, max_x, min_y, max_y) over [N, 2] points."""
-    return (np.min(points[:, 0]), np.max(points[:, 0]),
-            np.min(points[:, 1]), np.max(points[:, 1]))
+def get_bounding_box(points):
+    """(min_x, max_x, min_y, max_y) over [N, 2] points — an array or a list
+    of (x, y) pairs. Plain min/max: the point lists here are tiny (a few to
+    a few dozen pairs) and numpy's asarray+reduction overhead dominated this
+    helper (~1250 calls/page across the edge-feature rules)."""
+    if isinstance(points, np.ndarray):
+        points = points.tolist()
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points]
+    return (min(xs), max(xs), min(ys), max(ys))
 
 
 def _segments_intersect(a1, a2, b1, b2) -> bool:
@@ -82,8 +88,8 @@ def _separator_orientation(separator_region, bb_sep) -> str:
 def get_text_region_geometric_features(text_region, norm_x, norm_y) -> List[float]:
     """4-d: bbox size (w, h) + center (x, y), image-normalized
     (feature_generation.py:18-44)."""
-    pts = np.asarray(text_region.points.points_list, dtype=np.int32)
-    min_x, max_x, min_y, max_y = get_bounding_box(pts)
+    min_x, max_x, min_y, max_y = get_bounding_box(
+        text_region.points.points_list)
     return [(float(max_x) - float(min_x)) / norm_x,
             (float(max_y) - float(min_y)) / norm_y,
             (min_x + max_x) / (2 * norm_x),
@@ -97,8 +103,7 @@ def get_text_region_baseline_features(text_region, norm_x, norm_y) -> List[float
     top = text_region.text_lines[0].baseline
     bottom = text_region.text_lines[-1].baseline
     for baseline in (top, bottom):
-        pts = np.asarray(baseline.points_list, dtype=np.int32)
-        min_x, max_x, min_y, max_y = get_bounding_box(pts)
+        min_x, max_x, min_y, max_y = get_bounding_box(baseline.points_list)
         feature.extend([
             (float(max_x) - float(min_x)) / norm_x,
             (float(max_y) - float(min_y)) / norm_y,
@@ -124,10 +129,18 @@ def get_textline_stroke_widths_heights(page_path, text_lines,
             entry = precomputed.get(text_line.id)
             if entry is None:
                 break
-            pts = np.asarray(text_line.surr_p.points_list, dtype=np.int32)
-            min_x, max_x, min_y, max_y = get_bounding_box(pts)
-            if tuple(entry[0]) != (min_x, min_y, max_x - min_x,
-                                   max_y - min_y):
+            min_x, max_x, min_y, max_y = get_bounding_box(
+                text_line.surr_p.points_list)
+            # the heading stage keys its saved features by the Rectangle
+            # bbox (w = max - min + 1); its SWT crop is thus one row/col
+            # larger than this stage's own max - min convention (the
+            # reference's two stages differ the same way:
+            # heading_net_post_processor.py:219 vs
+            # feature_generation.py:105-159). Reusing the heading values
+            # trades that one-pixel crop difference for skipping a full
+            # host distance transform per page (DEVIATIONS #9).
+            if tuple(entry[0]) != (min_x, min_y, max_x - min_x + 1,
+                                   max_y - min_y + 1):
                 break   # line geometry changed since heading: recompute
             stroke_widths[text_line.id] = entry[1]
             heights[text_line.id] = entry[2]
@@ -142,8 +155,8 @@ def get_textline_stroke_widths_heights(page_path, text_lines,
     swt_img = swt.distance_transform(image, cache_key=img_path)
     stroke_widths, heights = {}, {}
     for text_line in text_lines:
-        pts = np.asarray(text_line.surr_p.points_list, dtype=np.int32)
-        min_x, max_x, min_y, max_y = get_bounding_box(pts)
+        min_x, max_x, min_y, max_y = get_bounding_box(
+            text_line.surr_p.points_list)
         sw, th = swt.textline_features(
             swt_img, (min_x, min_y, max_x - min_x, max_y - min_y))
         stroke_widths[text_line.id] = sw
@@ -180,11 +193,11 @@ def get_edge_separator_feature_bb(text_region_a, text_region_b,
                                   separator_regions) -> List[float]:
     """2-d binary (horizontal, vertical) separation via bbox rules
     (feature_generation.py:319-398)."""
-    bb_a = get_bounding_box(np.asarray(text_region_a.points.points_list, np.int32))
-    bb_b = get_bounding_box(np.asarray(text_region_b.points.points_list, np.int32))
+    bb_a = get_bounding_box(text_region_a.points.points_list)
+    bb_b = get_bounding_box(text_region_b.points.points_list)
     horizontally, vertically = False, False
     for sep in separator_regions:
-        bb_sep = get_bounding_box(np.asarray(sep.points.points_list, np.int32))
+        bb_sep = get_bounding_box(sep.points.points_list)
         orientation = _separator_orientation(sep, bb_sep)
         if orientation == "vertical":
             if is_vertically_separated(*bb_a, *bb_b, *bb_sep):
@@ -204,14 +217,14 @@ def get_edge_separator_feature_line(text_region_a, text_region_b,
     compares the region OBJECT to the string 'vertical' (always False),
     pushing vertical separators into the ratio fallback; we implement the
     evidently-intended orientation check."""
-    bb_a = get_bounding_box(np.asarray(text_region_a.points.points_list, np.int32))
-    bb_b = get_bounding_box(np.asarray(text_region_b.points.points_list, np.int32))
+    bb_a = get_bounding_box(text_region_a.points.points_list)
+    bb_b = get_bounding_box(text_region_b.points.points_list)
     center_a = ((bb_a[0] + bb_a[1]) / 2, (bb_a[2] + bb_a[3]) / 2)
     center_b = ((bb_b[0] + bb_b[1]) / 2, (bb_b[2] + bb_b[3]) / 2)
     horizontally, vertically = False, False
     for sep in separator_regions:
         pts = sep.points.points_list
-        bb_sep = get_bounding_box(np.asarray(pts, np.int32))
+        bb_sep = get_bounding_box(pts)
         min_x_s, max_x_s, min_y_s, max_y_s = bb_sep
         corner_poly = [(min_x_s, min_y_s), (max_x_s, min_y_s),
                        (min_x_s, max_y_s), (max_x_s, max_y_s)]
@@ -258,12 +271,12 @@ def is_aligned_horizontally_separated(text_region_a, text_region_b,
                                       separator_regions) -> bool:
     """Horizontal separation under vertical alignment
     (feature_generation.py:401-438); used for confidence masking."""
-    bb_a = get_bounding_box(np.asarray(text_region_a.points.points_list, np.int32))
-    bb_b = get_bounding_box(np.asarray(text_region_b.points.points_list, np.int32))
+    bb_a = get_bounding_box(text_region_a.points.points_list)
+    bb_b = get_bounding_box(text_region_b.points.points_list)
     min_x_a, max_x_a, min_y_a, max_y_a = bb_a
     min_x_b, max_x_b, min_y_b, max_y_b = bb_b
     for sep in separator_regions:
-        bb_s = get_bounding_box(np.asarray(sep.points.points_list, np.int32))
+        bb_s = get_bounding_box(sep.points.points_list)
         if _separator_orientation(sep, bb_s) == "vertical":
             continue
         min_x_s, max_x_s, min_y_s, max_y_s = bb_s
@@ -283,8 +296,8 @@ def is_aligned_heading_separated(text_region_a, text_region_b) -> bool:
     heading_b = text_region_b.region_type.lower() == "heading"
     if heading_a == heading_b:
         return False
-    bb_a = get_bounding_box(np.asarray(text_region_a.points.points_list, np.int32))
-    bb_b = get_bounding_box(np.asarray(text_region_b.points.points_list, np.int32))
+    bb_a = get_bounding_box(text_region_a.points.points_list)
+    bb_b = get_bounding_box(text_region_b.points.points_list)
     min_x_a, max_x_a, min_y_a, max_y_a = bb_a
     min_x_b, max_x_b, min_y_b, max_y_b = bb_b
     if not (min_x_a <= max_x_b and min_x_b <= max_x_a):
@@ -556,7 +569,10 @@ def generate_feature_jsons(page_paths: Sequence[str],
         file_name = os.path.splitext(os.path.basename(page_path))[0] + ".json"
         target = os.path.join(out_path, file_name)
         with open(target, "w") as f:
-            json.dump(out, f)
+            # dumps() hits the C-accelerated encoder; dump() always streams
+            # through the pure-Python iterencode (~5x slower on the large
+            # nested feature lists — was half this stage's time)
+            f.write(json.dumps(out))
         written.append(target)
     logger.info("Feature generation: %.2fs, wrote %d/%d files.",
                 time.time() - start, len(written), len(page_paths))

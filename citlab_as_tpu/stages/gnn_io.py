@@ -51,7 +51,8 @@ def save_conf_to_json(confidences: np.ndarray, page_path: str, save_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     save_path = os.path.join(out_dir, save_name)
     with open(save_path, "w") as f:
-        json.dump({"confidences": conf_dict}, f)
+        # dumps() uses the C encoder; dump() streams via Python iterencode
+        f.write(json.dumps({"confidences": conf_dict}))
     logger.info("Saved confidences json '%s'", save_path)
     return save_path
 

@@ -146,6 +146,35 @@ def test_generate_feature_jsons_default_dir(workdir):
     assert data["gt_num_relations"] == len(data["gt_relations"])
 
 
+def test_generate_feature_jsons_reuses_heading_line_features(workdir, monkeypatch):
+    """The workflow drivers hand the heading stage's device-computed per-line
+    (bbox, stroke, height) to the features stage; when every line matches by
+    id and Rectangle bbox (w = max - min + 1 — the heading convention), the
+    host distance transform must be skipped entirely. Regression: a bbox
+    convention mismatch made this reuse silently dead (always recomputing)."""
+    from citlab_as_tpu.ops.swt import StrokeWidthDistanceTransform
+
+    page_path = str(workdir / "page" / "p1.xml")
+    lf = {}
+    for tl in Page(page_path).get_textlines():
+        bb = tl.surr_p.to_polygon().get_bounding_box()
+        lf[tl.id] = ((bb.x, bb.y, bb.width, bb.height), 2.5, 30)
+
+    def boom(self, *a, **k):
+        raise AssertionError("host distance transform must not run")
+    monkeypatch.setattr(StrokeWidthDistanceTransform, "distance_transform", boom)
+
+    written = generate_feature_jsons(
+        [page_path], visual_regions=False, separators="bb",
+        line_features={page_path: lf})
+    with open(written[0]) as f:
+        data = json.load(f)
+    # stroke/height features present and page-max normalized from the
+    # precomputed values
+    assert data["num_nodes"] == 3
+    assert all(abs(f[12] - 1.0) < 1e-9 for f in data["node_features"])
+
+
 def test_delaunay_edges_structure():
     rng = np.random.RandomState(0)
     pts = rng.rand(10, 2) * 1000
