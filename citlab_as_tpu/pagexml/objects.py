@@ -101,7 +101,7 @@ def string_to_points(s: str) -> List[Tuple[int, int]]:
         if not pair:
             continue
         try:
-            sx, sy = pair.split(",")
+            sx, _, sy = pair.partition(",")
             out.append((int(sx), int(sy)))
         except ValueError as e:
             raise PageXmlError(f"Can't convert string '{pair}' to a point.") from e

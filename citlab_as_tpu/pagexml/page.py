@@ -25,6 +25,7 @@ from citlab_as_tpu.pagexml.objects import (
 logger = logging.getLogger(__name__)
 
 _NSMAP = {"pc": C.NS_PAGE_XML}
+_XPATH_FIRST_POINTS = etree.XPath("(.//@points)[1]")
 
 
 def _utc_now() -> str:
@@ -178,12 +179,21 @@ class Page:
         return True
 
     # ---------------- XML helpers ----------------
+    # lxml re-parses an xpath string on every .xpath() call; the stages
+    # traverse the DOM with a handful of fixed expressions thousands of
+    # times per page, so compiled-XPath caches pay for themselves
+    _XPATH_BY_NAME: Dict[str, etree.XPath] = {}
+
     @classmethod
     def get_child_by_name(cls, elt, child_name):
         """All descendant elements with that local name in the PAGE namespace."""
         if hasattr(elt, "getroot"):
             elt = elt.getroot()
-        return elt.xpath(f".//pc:{child_name}", namespaces=_NSMAP)
+        xp = cls._XPATH_BY_NAME.get(child_name)
+        if xp is None:
+            xp = etree.XPath(f".//pc:{child_name}", namespaces=_NSMAP)
+            cls._XPATH_BY_NAME[child_name] = xp
+        return xp(elt)
 
     @classmethod
     def get_child_by_id(cls, elt, _id):
@@ -243,12 +253,15 @@ class Page:
             logger.debug("Can't remove %s from %s.", sub_attr_name, attr_name)
 
     # ---------------- text / points ----------------
+    _XPATH_TEXT_EQUIV = etree.XPath("./pc:%s" % C.TEXTEQUIV, namespaces=_NSMAP)
+    _XPATH_UNICODE = etree.XPath(".//pc:%s" % C.UNICODE, namespaces=_NSMAP)
+
     @classmethod
     def get_text_equiv(cls, nd) -> str:
-        text_equivs = nd.xpath("./pc:%s" % C.TEXTEQUIV, namespaces=_NSMAP)
+        text_equivs = cls._XPATH_TEXT_EQUIV(nd)
         if not text_equivs:
             return ""
-        unicodes = text_equivs[-1].xpath(".//pc:%s" % C.UNICODE, namespaces=_NSMAP)
+        unicodes = cls._XPATH_UNICODE(text_equivs[-1])
         if not unicodes:
             return ""
         return unicodes[0].text or ""
@@ -264,7 +277,7 @@ class Page:
         if isinstance(data, str):
             s_points = data
         else:
-            pts = data.xpath("(.//@points)[1]")
+            pts = _XPATH_FIRST_POINTS(data)
             if not pts:
                 return None
             s_points = pts[0]

@@ -529,4 +529,8 @@ class HeadingNetPostProcessor:
             pending = self.fused_materialize(state)
         if pending is not None:
             self.fused_finish(pending, pages_by_path)
+        # stage end: all chains barriered + materialized, queue quiet ->
+        # safe point to drop the pinned group buffers
+        from citlab_as_tpu.ops.device_hold import release
+        release()
         return [pages_by_path[p] for p in self.image_paths]

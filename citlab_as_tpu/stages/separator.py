@@ -415,6 +415,10 @@ class SeparatorNetPostProcessor:
             in_flight = entry
         if in_flight is not None:
             self.fused_drain(in_flight, pages_by_path, phase)
+        # stage end: every drain materialized, queue quiet -> safe point to
+        # drop the pinned group buffers (see ops/device_hold.py)
+        from citlab_as_tpu.ops.device_hold import release
+        release()
         logger.info("separator fused phases (s): %s",
                     {k: round(v, 3) for k, v in phase.items()})
         return [pages_by_path[p] for p in self.image_paths]
