@@ -157,22 +157,32 @@ def _chain_rings_fast(mask: np.ndarray, labels: np.ndarray
     h, w = mask.shape
     padded = np.zeros((h + 2, w + 2), dtype=bool)
     padded[1:-1, 1:-1] = mask
-    core = padded[1:-1, 1:-1]
     stride = w + 2
+
+    # one sparse foreground scan + neighbor gathers at those K points —
+    # building a full-frame boolean selector per direction (8 H x W
+    # temporaries + 4 scans) dominated this function on sparse masks
+    frs, fcs = np.nonzero(mask)
+    flabs = labels[frs, fcs]
+    nb_top = padded[frs, fcs + 1]
+    nb_right = padded[frs + 1, fcs + 2]
+    nb_bottom = padded[frs + 2, fcs + 1]
+    nb_left = padded[frs + 1, fcs]
 
     starts, ends, dirs, labs = [], [], [], []
 
-    def add(sel, s_dx, s_dy, e_dx, e_dy, d):
-        rs, cs = np.nonzero(sel)
+    def add(nb, s_dx, s_dy, e_dx, e_dy, d):
+        idx = np.flatnonzero(~nb)   # row-major order, as np.nonzero gave
+        rs, cs = frs[idx], fcs[idx]
         starts.append((rs + s_dy) * stride + (cs + s_dx))
         ends.append((rs + e_dy) * stride + (cs + e_dx))
-        dirs.append(np.full(rs.shape[0], d, np.int8))
-        labs.append(labels[rs, cs])
+        dirs.append(np.full(idx.shape[0], d, np.int8))
+        labs.append(flabs[idx])
 
-    add(core & ~padded[:-2, 1:-1], 0, 0, 1, 0, 0)    # top: walk +x
-    add(core & ~padded[1:-1, 2:], 1, 0, 1, 1, 1)     # right: walk +y
-    add(core & ~padded[2:, 1:-1], 1, 1, 0, 1, 2)     # bottom: walk -x
-    add(core & ~padded[1:-1, :-2], 0, 1, 0, 0, 3)    # left: walk -y
+    add(nb_top, 0, 0, 1, 0, 0)       # top: walk +x
+    add(nb_right, 1, 0, 1, 1, 1)     # right: walk +y
+    add(nb_bottom, 1, 1, 0, 1, 2)    # bottom: walk -x
+    add(nb_left, 0, 1, 0, 0, 3)      # left: walk -y
 
     S = np.concatenate(starts)
     E = np.concatenate(ends)
