@@ -42,46 +42,73 @@ PAGES = 14       # two full batches (compile warm-up uses the first group)
 NORTH_STAR_PER_CHIP = 50.0 / 8.0
 
 
-def bench_e2e():
-    from bench_e2e import make_demo_page
-    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+def _make_predictors():
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
-
-    work = "/tmp/bench_repo_e2e"
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
-    rng = np.random.RandomState(0)
-    image_paths = []
-    for i in range(PAGES + BATCH):
-        path, _ = make_demo_page(work, f"b{i:03d}", rng)
-        image_paths.append(path)
 
     def dir_or_none(d):
         return d if os.path.isdir(d) else None
 
-    sep = SegmentationPredictor(dir_or_none("models_ckpt/separator"))
-    head = SegmentationPredictor(dir_or_none("models_ckpt/heading"))
-    gnn = RelationPredictor(dir_or_none("models_ckpt/gnn/best/f1"))
+    return (SegmentationPredictor(dir_or_none("models_ckpt/separator")),
+            SegmentationPredictor(dir_or_none("models_ckpt/heading")),
+            RelationPredictor(dir_or_none("models_ckpt/gnn/best/f1")))
+
+
+def _make_pages(work: str, n: int, seed: int = 0):
+    from bench_e2e import make_demo_page
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    rng = np.random.RandomState(seed)
+    return [make_demo_page(work, f"b{i:03d}", rng)[0] for i in range(n)]
+
+
+def bench_e2e():
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+
+    image_paths = _make_pages("/tmp/bench_repo_e2e", PAGES + BATCH)
+    sep, head, gnn = _make_predictors()
 
     # warm on one batch-sized group: compiles every program (both fused
     # nets + GNN buckets). The timed run uses FRESH pages so per-page
     # caches (e.g. the SWT distance transform memo) cannot flatter the
     # number — every page is processed cold, as in production.
     run_full_workflow(
-        image_paths[:BATCH], out_dir=os.path.join(work, "warm"),
+        image_paths[:BATCH], out_dir="/tmp/bench_repo_e2e/warm",
         separator_predictor=sep, heading_predictor=head,
         gnn_predictor=gnn, batch_size=BATCH)
     timed_pages = image_paths[BATCH:]
     timings = {}
     t0 = time.perf_counter()
     run_full_workflow(
-        timed_pages, out_dir=os.path.join(work, "out"),
+        timed_pages, out_dir="/tmp/bench_repo_e2e/out",
         separator_predictor=sep, heading_predictor=head,
         gnn_predictor=gnn, batch_size=BATCH, timings=timings)
     total = time.perf_counter() - t0
     stages = {k: round(v / PAGES, 3) for k, v in sorted(timings.items())}
     stages["total_s_per_page"] = round(total / PAGES, 3)
     return PAGES / total, stages
+
+
+def bench_e2e_fresh_process(n_pages: int):
+    """Relay-bug fallback (ROUND3_NOTES.md): one single workflow invocation
+    over ``n_pages`` fresh pages in THIS (fresh) process — the axon relay's
+    INVALID_ARGUMENT poison has only ever hit the SECOND in-process
+    invocation. Program binaries come warm from the persistent compile
+    cache, but their load/first-dispatch overhead lands inside the timed
+    window (reported in the methodology note)."""
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+
+    image_paths = _make_pages("/tmp/bench_repo_e2e_fb", n_pages)
+    sep, head, gnn = _make_predictors()
+    timings = {}
+    t0 = time.perf_counter()
+    run_full_workflow(
+        image_paths, out_dir="/tmp/bench_repo_e2e_fb/out",
+        separator_predictor=sep, heading_predictor=head,
+        gnn_predictor=gnn, batch_size=BATCH, timings=timings)
+    total = time.perf_counter() - t0
+    stages = {k: round(v / n_pages, 3) for k, v in sorted(timings.items())}
+    stages["total_s_per_page"] = round(total / n_pages, 3)
+    return n_pages / total, stages
 
 
 def bench_forward():
@@ -145,17 +172,16 @@ def bench_gnn(batch_graphs_n: int = 4, nodes: int = 128, iters: int = 10):
     return batch_graphs_n * nodes * nodes / dt
 
 
-def main():
-    e2e_pages_s, stages = bench_e2e()
-    fwd_pages_s, mpix_s = bench_forward()
-    edge_preds_s = bench_gnn()
+def _emit(e2e_pages_s, stages, fwd_pages_s, mpix_s, edge_preds_s,
+          methodology: str, n_pages: int):
     print(json.dumps({
-        "metric": f"end-to-end workflow pages/s ({PAGES} fresh 1500x1000 "
+        "metric": f"end-to-end workflow pages/s ({n_pages} fresh 1500x1000 "
                   f"pages, all 5 stages, 1 chip)",
         "value": round(e2e_pages_s, 3),
         "unit": "pages/s",
         "vs_baseline": round(e2e_pages_s / NORTH_STAR_PER_CHIP, 3),
         "extra": {
+            "methodology": methodology,
             "stage_s_per_page": stages,
             "arunet_forward_pages_per_s": round(fwd_pages_s, 1),
             "arunet_forward_MPix_per_s": round(mpix_s, 1),
@@ -163,7 +189,51 @@ def main():
             "north_star_pages_per_s_per_chip": NORTH_STAR_PER_CHIP,
             "device": str(jax.devices()[0]),
         },
-    }))
+    }), flush=True)
+
+
+def _child(mode: str):
+    """Fallback modes run in a fresh subprocess (see main)."""
+    n = PAGES if mode == "--fallback-multi" else BATCH
+    e2e_pages_s, stages = bench_e2e_fresh_process(n)
+    fwd_pages_s, mpix_s = bench_forward()
+    edge_preds_s = bench_gnn()
+    _emit(e2e_pages_s, stages, fwd_pages_s, mpix_s, edge_preds_s,
+          methodology=(
+              "relay-bug fallback: single workflow invocation in a fresh "
+              "process (persistent compile cache warm; executable "
+              "load/first-dispatch overhead INCLUDED in the timed window)"),
+          n_pages=n)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--fallback"):
+        _child(sys.argv[1])
+        return
+    try:
+        e2e_pages_s, stages = bench_e2e()
+        fwd_pages_s, mpix_s = bench_forward()
+        edge_preds_s = bench_gnn()
+        _emit(e2e_pages_s, stages, fwd_pages_s, mpix_s, edge_preds_s,
+              methodology="warm-up on a separate batch-shaped page set, "
+                          "then timed run over fresh pages (cold per-page "
+                          "caches) in the same process",
+              n_pages=PAGES)
+        return
+    except Exception as e:  # axon relay INVALID_ARGUMENT poison: client is
+        print(f"bench: in-process run failed ({type(e).__name__}: {e}); "
+              f"falling back to fresh-process methodology", file=sys.stderr,
+              flush=True)
+    # wedged after the poison, so each fallback needs its own process
+    import subprocess
+    for mode in ("--fallback-multi", "--fallback-single"):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), mode],
+                           timeout=3000)
+        if r.returncode == 0:
+            return
+        print(f"bench: {mode} failed (rc={r.returncode})", file=sys.stderr,
+              flush=True)
+    raise SystemExit("bench: all methodologies failed")
 
 
 if __name__ == "__main__":

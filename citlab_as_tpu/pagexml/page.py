@@ -101,7 +101,17 @@ class Page:
             key = os.path.abspath(path_to_xml)
             if (_PAGE_CACHE_ON and getattr(self, "_cache_key", None) == key
                     and self._cache_mtime == os.path.getmtime(key)):
-                return  # cache hit: __new__ returned the live instance
+                # cache hit: __new__ returned the live instance. Its DOM is
+                # current (mutations happen in place), but the parse-time
+                # snapshot attributes may predate another consumer's later
+                # mutations (e.g. get_article_dict reads self.textlines,
+                # which without this refresh misses the article ids
+                # baseline clustering just wrote — lost article ids in the
+                # full workflow). Refresh them so Page(path) keeps its
+                # "fresh as of this call" semantics under the cache.
+                self.metadata = self.get_metadata()
+                self.textlines = self.get_textlines()
+                return
             self.page_doc = self.load_page_xml(path_to_xml)
             if _PAGE_CACHE_ON:
                 self._cache_key = key
