@@ -297,6 +297,95 @@ def net_prob_sums(prob_u8: jnp.ndarray, boxes: jnp.ndarray,
     return jnp.sum(crops, axis=(1, 2))
 
 
+@partial(jax.jit, static_argnames=("crop_h", "crop_w", "clean_ccs", "chunk"))
+def swt_line_stats_batch_gather(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
+                                crop_h: int, crop_w: int, clean_ccs: int = 2,
+                                chunk: int = _STATS_CHUNK):
+    """Gather-formulated page-group variant of :func:`swt_line_stats_batch`.
+
+    Same contract ([B, H, W] u8 DT + [B, L, 4] boxes -> [B, L, 2]) but the
+    program contains NO ``lax.map`` and NO runtime-index ``dynamic_slice``:
+    crops come out of two static gathers (a row gather of [1, W+crop_w]
+    slices, then a per-pixel column gather), and the crop stream is chunked
+    by a STATIC python loop (each chunk runs its own component fixpoint, so
+    the working set stays bounded exactly as in the map variant). Motivation:
+    the axon relay poisons the second cached execution of lax.map +
+    dynamic_slice chains (ROUND3_NOTES.md) while gather/while_loop programs
+    (EDT, CC, the fused forwards) re-execute fine — this shape dodges the
+    failing pattern and needs none of the step barriers.
+    """
+    b, l = boxes.shape[:2]
+    h, w = dt_u8.shape[1:]
+    padded = jnp.pad(dt_u8.astype(jnp.int32),
+                     ((0, 0), (0, crop_h), (0, crop_w)))
+    hp, wp = h + crop_h, w + crop_w
+    flat_rows = padded.reshape(b * hp, wp)
+    boxes_flat = boxes.reshape(b * l, 4)
+    pages = jnp.arange(b * l, dtype=jnp.int32) // l
+
+    n = b * l
+    chunk = min(chunk, n)
+    n_pad = -n % chunk
+    if n_pad:
+        boxes_flat = jnp.pad(boxes_flat, ((0, n_pad), (0, 0)))
+        pages = jnp.pad(pages, (0, n_pad))
+
+    ch_iota = jnp.arange(crop_h, dtype=jnp.int32)
+    cw_iota = jnp.arange(crop_w, dtype=jnp.int32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (1, crop_h, crop_w), 1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (1, crop_h, crop_w), 2)
+    outs = []
+    for s in range(0, boxes_flat.shape[0], chunk):
+        eb = boxes_flat[s:s + chunk]
+        pg = pages[s:s + chunk]
+        row_idx = pg[:, None] * hp + eb[:, 1][:, None] + ch_iota[None, :]
+        rows = jnp.take(flat_rows, row_idx.reshape(-1),
+                        axis=0).reshape(chunk, crop_h, wp)
+        col_idx = jnp.broadcast_to(
+            (eb[:, 0][:, None] + cw_iota[None, :])[:, None, :],
+            (chunk, crop_h, crop_w))
+        crops = jnp.take_along_axis(rows, col_idx, axis=2)
+        valid = ((rr <= eb[:, 3][:, None, None])    # inclusive crop:
+                 & (cc <= eb[:, 2][:, None, None]))  # dt[y:y+h+1, x:x+w+1]
+        outs.append(_line_stats_from_crops(jnp.where(valid, crops, 0),
+                                           clean_ccs))
+    out = jnp.concatenate(outs, axis=0)
+    return out[:n].reshape(b, l, 2)
+
+
+@jax.jit
+def net_prob_sums_batch_sat(prob_u8: jnp.ndarray,
+                            boxes: jnp.ndarray) -> jnp.ndarray:
+    """Summed-area-table variant of :func:`net_prob_sums_batch`.
+
+    [B, H, W] u8 maps + [B, L, 4] (x, y, w, h) boxes -> exact int32 sums
+    [B, L] of prob[y:y+h, x:x+w] (numpy clip semantics). Two cumsums build
+    the SAT once per page; each box then needs only the classic 4-corner
+    lookup — no crop buckets, no lax.map, no dynamic_slice, and the lookup
+    gather moves 4*L scalars instead of L crop images. Exactness: int32
+    holds the full-page sum as long as 255*H*W < 2^31 (~8.4 MPix; the
+    dispatcher falls back to the crop variant above that).
+    """
+    b, h, w = prob_u8.shape
+    sat = jnp.cumsum(jnp.cumsum(prob_u8.astype(jnp.int32), axis=1), axis=2)
+    satp = jnp.pad(sat, ((0, 0), (1, 0), (1, 0)))        # [B, H+1, W+1]
+    flat = satp.reshape(b * (h + 1) * (w + 1))
+
+    x0 = jnp.clip(boxes[..., 0], 0, w)
+    y0 = jnp.clip(boxes[..., 1], 0, h)
+    x1 = jnp.clip(boxes[..., 0] + boxes[..., 2], 0, w)
+    y1 = jnp.clip(boxes[..., 1] + boxes[..., 3], 0, h)
+    x1 = jnp.maximum(x0, x1)
+    y1 = jnp.maximum(y0, y1)
+    page = (jnp.arange(b, dtype=jnp.int32) * ((h + 1) * (w + 1)))[:, None]
+
+    def look(yy, xx):
+        return jnp.take(flat, (page + yy * (w + 1) + xx).reshape(-1),
+                        axis=0).reshape(b, -1)
+
+    return look(y1, x1) - look(y0, x1) - look(y1, x0) + look(y0, x0)
+
+
 @partial(jax.jit, static_argnames=("crop_h", "crop_w"))
 def net_prob_sums_batch(prob_u8: jnp.ndarray, boxes: jnp.ndarray,
                         crop_h: int, crop_w: int) -> jnp.ndarray:
@@ -440,26 +529,49 @@ class DeviceLineFeatures:
                   f"nb_max={nb.reshape(-1, 4).max(0)} "
                   f"dt={dt_dev.shape} prob={prob_dev.shape}", flush=True)
         from citlab_as_tpu.ops.device_hold import hold as _hold
-        # step-barriered chain (see _barrier): every device action completes
-        # on a quiet queue before the next is enqueued
-        _barrier(dt_dev)
-        _barrier(prob_dev)
-        sb_dev = jnp.asarray(sb)
-        _barrier(sb_dev)
-        nb_dev = jnp.asarray(nb)
-        _barrier(nb_dev)
-        dt_s = dt_dev[:b]
-        _barrier(dt_s)
-        prob_s = prob_dev[:b]
-        _barrier(prob_s)
-        sw_th_dev = swt_line_stats_batch(dt_s, sb_dev,
-                                         crop_h=self._swt_crop[0],
-                                         crop_w=self._swt_crop[1])
-        _barrier(sw_th_dev)
-        sums_dev = net_prob_sums_batch(prob_s, nb_dev,
-                                       crop_h=self._net_crop[0],
-                                       crop_w=self._net_crop[1])
-        _barrier(sums_dev)
+        mode = _os.environ.get("CITLAB_SWT_EXTRACT", "gather")
+        if mode == "gather":
+            # gather/SAT formulation: no lax.map, no runtime-index
+            # dynamic_slice — the program shape whose second cached
+            # execution the axon relay poisons (ROUND3_NOTES.md). Only the
+            # round-2-validated end-of-chain scalar barriers are kept.
+            sb_dev = jnp.asarray(sb)
+            nb_dev = jnp.asarray(nb)
+            dt_s = dt_dev[:b]
+            prob_s = prob_dev[:b]
+            sw_th_dev = swt_line_stats_batch_gather(
+                dt_s, sb_dev, crop_h=self._swt_crop[0],
+                crop_w=self._swt_crop[1])
+            ph, pw = int(prob_dev.shape[1]), int(prob_dev.shape[2])
+            if 255 * ph * pw < 2 ** 31:
+                sums_dev = net_prob_sums_batch_sat(prob_s, nb_dev)
+            else:   # SAT would overflow int32 on huge pages
+                sums_dev = net_prob_sums_batch(prob_s, nb_dev,
+                                               crop_h=self._net_crop[0],
+                                               crop_w=self._net_crop[1])
+            _barrier(sw_th_dev)
+            _barrier(sums_dev)
+        else:
+            # step-barriered lax.map chain (see _barrier): every device
+            # action completes on a quiet queue before the next is enqueued
+            _barrier(dt_dev)
+            _barrier(prob_dev)
+            sb_dev = jnp.asarray(sb)
+            _barrier(sb_dev)
+            nb_dev = jnp.asarray(nb)
+            _barrier(nb_dev)
+            dt_s = dt_dev[:b]
+            _barrier(dt_s)
+            prob_s = prob_dev[:b]
+            _barrier(prob_s)
+            sw_th_dev = swt_line_stats_batch(dt_s, sb_dev,
+                                             crop_h=self._swt_crop[0],
+                                             crop_w=self._swt_crop[1])
+            _barrier(sw_th_dev)
+            sums_dev = net_prob_sums_batch(prob_s, nb_dev,
+                                           crop_h=self._net_crop[0],
+                                           crop_w=self._net_crop[1])
+            _barrier(sums_dev)
         # pin the chain's buffers: their refs dropping mid-queue later
         # (next group executing) is the suspected relay poison
         _hold(dt_dev, prob_dev, sb_dev, nb_dev, dt_s, prob_s,

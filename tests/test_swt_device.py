@@ -81,6 +81,59 @@ def test_net_prob_means_matches_host():
     np.testing.assert_allclose(dev, host, atol=1e-5)
 
 
+@pytest.mark.parametrize("seed", [0, 5])
+def test_swt_line_stats_batch_gather_matches_map(seed):
+    """The gather-formulated group program (no lax.map / dynamic_slice —
+    the relay-poisoned shape, ROUND3_NOTES.md) is bit-equal to the map
+    variant and to the host path."""
+    from citlab_as_tpu.ops.swt_device import (
+        swt_line_stats_batch, swt_line_stats_batch_gather)
+    rng = np.random.RandomState(seed)
+    b, l = 3, 8
+    dts = np.stack([_random_dt(rng, 220, 330) for _ in range(b)])
+    boxes = np.zeros((b, l, 4), np.int32)
+    for i in range(b):
+        boxes[i] = np.asarray(_random_boxes(rng, 220, 330, l), np.int32)
+    via_map = np.asarray(swt_line_stats_batch(
+        jnp.asarray(dts), jnp.asarray(boxes), crop_h=128, crop_w=256))
+    via_gather = np.asarray(swt_line_stats_batch_gather(
+        jnp.asarray(dts), jnp.asarray(boxes), crop_h=128, crop_w=256,
+        chunk=8))  # small chunk -> exercises the multi-chunk static loop
+    np.testing.assert_array_equal(via_gather, via_map)
+    swt = StrokeWidthDistanceTransform(dark_on_bright=True)
+    host = np.array([[swt.textline_features(dts[i], tuple(boxes[i, j]))
+                      for j in range(l)] for i in range(b)])
+    np.testing.assert_allclose(via_gather, host, atol=1e-6)
+
+
+def test_net_prob_sums_batch_sat_matches_map():
+    """SAT 4-corner sums == crop-and-sum, including clipped/degenerate
+    boxes."""
+    from citlab_as_tpu.ops.swt_device import (
+        net_prob_sums_batch, net_prob_sums_batch_sat)
+    rng = np.random.RandomState(7)
+    b = 3
+    probs = rng.randint(0, 256, (b, 150, 210)).astype(np.uint8)
+    boxes = np.zeros((b, 12, 4), np.int32)
+    for i in range(b):
+        boxes[i, :10] = np.asarray(_random_boxes(rng, 150, 210, 10), np.int32)
+    boxes[0, 10] = (200, 140, 50, 40)   # overshoots both edges
+    boxes[1, 10] = (10, 10, 0, 5)       # degenerate w=0
+    boxes[2, 10] = (10, 149, 30, 1)     # last row
+    # [b, :, 11] stays all-zero (padding rows)
+    via_map = np.asarray(net_prob_sums_batch(
+        jnp.asarray(probs), jnp.asarray(boxes), crop_h=128, crop_w=256))
+    via_sat = np.asarray(net_prob_sums_batch_sat(
+        jnp.asarray(probs), jnp.asarray(boxes)))
+    np.testing.assert_array_equal(via_sat, via_map)
+    # and against a direct numpy crop sum
+    for i in range(b):
+        for j in range(12):
+            x, y, w, h = boxes[i, j]
+            assert via_sat[i, j] == probs[i, y:y + h, x:x + w].astype(
+                np.int64).sum()
+
+
 def test_device_line_features_bridge():
     rng = np.random.RandomState(4)
     dt = _random_dt(rng, 250, 350)
