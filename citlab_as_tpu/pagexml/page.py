@@ -102,15 +102,11 @@ class Page:
             if (_PAGE_CACHE_ON and getattr(self, "_cache_key", None) == key
                     and self._cache_mtime == os.path.getmtime(key)):
                 # cache hit: __new__ returned the live instance. Its DOM is
-                # current (mutations happen in place), but the parse-time
-                # snapshot attributes may predate another consumer's later
-                # mutations (e.g. get_article_dict reads self.textlines,
-                # which without this refresh misses the article ids
-                # baseline clustering just wrote — lost article ids in the
-                # full workflow). Refresh them so Page(path) keeps its
-                # "fresh as of this call" semantics under the cache.
-                self.metadata = self.get_metadata()
-                self.textlines = self.get_textlines()
+                # current (mutations happen in place), and the textlines /
+                # metadata snapshots are generation-tracked properties that
+                # re-derive lazily when a mutator has touched the DOM since
+                # (e.g. get_article_dict reads self.textlines, which must
+                # see the article ids baseline clustering just wrote).
                 return
             self.page_doc = self.load_page_xml(path_to_xml)
             if _PAGE_CACHE_ON:
@@ -129,6 +125,44 @@ class Page:
             logger.debug("File given by %s is not a valid PAGE-XML file.", path_to_xml)
         self.metadata = self.get_metadata()
         self.textlines = self.get_textlines()
+
+    # ---------------- snapshot freshness ----------------
+    # The reference keeps `metadata` / `textlines` as parse-time attributes
+    # (page.py:27-47) and re-parses the file per consumer; under the scoped
+    # parse cache the same instance serves several pipeline stages, so the
+    # snapshots are generation-tracked: every mutating Page method bumps
+    # `_dom_gen` and the properties re-derive only when stale.
+    _dom_gen = 0   # class default; instances shadow on first bump
+
+    def mark_dom_mutated(self) -> None:
+        """Invalidate the textlines/metadata snapshots. Called by every
+        mutating Page method; call it manually after editing DOM nodes
+        directly (outside the Page API)."""
+        self._dom_gen = self._dom_gen + 1
+
+    @property
+    def textlines(self) -> List[TextLine]:
+        if getattr(self, "_textlines_gen", -1) != self._dom_gen:
+            self._textlines_snap = self.get_textlines()
+            self._textlines_gen = self._dom_gen
+        return self._textlines_snap
+
+    @textlines.setter
+    def textlines(self, value) -> None:
+        self._textlines_snap = value
+        self._textlines_gen = self._dom_gen
+
+    @property
+    def metadata(self) -> "Metadata":
+        if getattr(self, "_metadata_gen", -1) != self._dom_gen:
+            self._metadata_snap = self.get_metadata()
+            self._metadata_gen = self._dom_gen
+        return self._metadata_snap
+
+    @metadata.setter
+    def metadata(self, value) -> None:
+        self._metadata_snap = value
+        self._metadata_gen = self._dom_gen
 
     # ---------------- validation ----------------
     # the 2013-07-15 XSD's Coords/Baseline points facet:
@@ -205,11 +239,13 @@ class Page:
             cls._XPATH_BY_NAME[child_name] = xp
         return xp(elt)
 
+    _XPATH_BY_ID = etree.XPath(".//*[@id=$i]")
+
     @classmethod
     def get_child_by_id(cls, elt, _id):
         if hasattr(elt, "getroot"):
             elt = elt.getroot()
-        return elt.xpath(f".//*[@id='{_id}']")
+        return cls._XPATH_BY_ID(elt, i=_id)
 
     def get_ancestor_by_name(self, elt, name):
         return elt.xpath(f"ancestor::pc:{name}", namespaces=_NSMAP)
@@ -221,13 +257,14 @@ class Page:
     def create_page_xml_node(cls, node_name):
         return etree.Element("{%s}%s" % (C.NS_PAGE_XML, node_name))
 
-    @staticmethod
-    def remove_page_xml_node(nd) -> None:
+    def remove_page_xml_node(self, nd) -> None:
         nd.getparent().remove(nd)
+        self.mark_dom_mutated()
 
     def insert_page_xml_node(self, parent_nd, node_name):
         node = self.create_page_xml_node(node_name)
         parent_nd.append(node)
+        self.mark_dom_mutated()
         return node
 
     # ---------------- custom attribute ----------------
@@ -246,12 +283,14 @@ class Page:
 
     def set_custom_attr_from_dict(self, nd, custom_dict):
         nd.set(C.CUSTOM_ATTR, format_custom_attr(custom_dict))
+        self.mark_dom_mutated()
         return nd
 
     def set_custom_attr(self, nd, attr_name, sub_attr_name, val):
         ddic = parse_custom_attr(nd.get(C.CUSTOM_ATTR))
         ddic.setdefault(attr_name, {})[sub_attr_name] = str(val)
         nd.set(C.CUSTOM_ATTR, format_custom_attr(ddic))
+        self.mark_dom_mutated()
         return val
 
     def remove_custom_attr(self, nd, attr_name, sub_attr_name):
@@ -259,6 +298,7 @@ class Page:
         if attr_name in ddic and sub_attr_name in ddic[attr_name]:
             ddic[attr_name].pop(sub_attr_name)
             nd.set(C.CUSTOM_ATTR, format_custom_attr(ddic))
+            self.mark_dom_mutated()
         else:
             logger.debug("Can't remove %s from %s.", sub_attr_name, attr_name)
 
@@ -337,6 +377,7 @@ class Page:
         for child in meta_nd:
             by_name.setdefault(etree.QName(child.tag).localname, child)
         by_name[C.LAST_CHANGE_ELT].text = _utc_now()
+        self.mark_dom_mutated()
         if comments is not None:
             comments_nd = by_name.get(C.COMMENTS_ELT)
             if comments_nd is None:
@@ -354,6 +395,7 @@ class Page:
         if comments is not None:
             nd = etree.SubElement(metadata, "{%s}%s" % (C.NS_PAGE_XML, C.COMMENTS_ELT))
             nd.text = comments
+        self.mark_dom_mutated()
         return metadata
 
     # ---------------- page-level accessors ----------------
@@ -444,6 +486,7 @@ class Page:
             for nd in existing:
                 self.remove_page_xml_node(nd)
         page_nd.append(region.to_page_xml_node())
+        self.mark_dom_mutated()
 
     def set_text_regions(self, text_regions, overwrite=False) -> None:
         if overwrite:
@@ -452,6 +495,7 @@ class Page:
         page_nd = self.get_child_by_name(self.page_doc, "Page")[0]
         for tr in text_regions:
             page_nd.append(tr.to_page_xml_node())
+        self.mark_dom_mutated()
 
     # ---------------- text lines / words ----------------
     def get_textlines(self, text_region_nd=None, ignore_redundant_textlines=True) -> List[TextLine]:
@@ -493,12 +537,14 @@ class Page:
 
     def set_textline_attr(self, textlines) -> None:
         """Write each TextLine object's custom dict back to its DOM node."""
+        by_id = {nd.get("id"): nd
+                 for nd in self.get_child_by_name(self.page_doc, C.TEXTLINE)}
         for tl in textlines:
-            nds = self.get_child_by_id(self.page_doc, tl.id)
-            if not nds:
+            nd = by_id.get(tl.id)
+            if nd is None:
                 logger.warning("TextLine %s not found in document.", tl.id)
                 continue
-            self.set_custom_attr_from_dict(nds[0], tl.custom)
+            self.set_custom_attr_from_dict(nd, tl.custom)
 
     def set_text_lines(self, text_region, text_lines, overwrite=False) -> None:
         """Replace/append the text lines of one region and refresh the
@@ -534,6 +580,7 @@ class Page:
             unicode_nd = etree.SubElement(
                 text_equiv_nd, "{%s}%s" % (C.NS_PAGE_XML, C.UNICODE))
             unicode_nd.text = region_text
+        self.mark_dom_mutated()
 
     # ---------------- articles ----------------
     def get_article_dict(self) -> Dict[Optional[str], List[TextLine]]:

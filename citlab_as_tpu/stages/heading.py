@@ -267,6 +267,8 @@ class HeadingNetPostProcessor:
                 if tl.custom.get("structure", {}).get("semantic_type") == TextRegionTypes.HEADING)
             if n_headings / len(text_region.text_lines) >= self.text_line_percentage:
                 nd.set("type", TextRegionTypes.HEADING)
+        # region @type edits above bypass the Page API: invalidate snapshots
+        page_object.mark_dom_mutated()
 
     # ------------------------------------------------------------------
     def run(self) -> List:

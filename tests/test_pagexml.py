@@ -242,6 +242,44 @@ def test_page_cache_scoped(tmp_path):
     assert f is not e
 
 
+def test_page_cache_snapshot_freshness(tmp_path):
+    """Under page_cache(), a re-load of a mutated-and-saved page must see
+    the mutations through the snapshot attributes (lost-article-ids bug:
+    get_article_dict reads .textlines, which is a parse-time snapshot and
+    must re-derive after set_textline_attr touched the DOM)."""
+    import shutil
+    from citlab_as_tpu.pagexml.page import Page, page_cache
+
+    src = os.path.join(os.path.dirname(__file__), "data", "sample.xml") \
+        if os.path.exists(os.path.join(os.path.dirname(__file__), "data",
+                                       "sample.xml")) else None
+    p = tmp_path / "s.xml"
+    if src:
+        shutil.copy(src, p)
+    else:
+        p.write_text(SAMPLE)
+
+    with page_cache():
+        stage1 = Page(str(p))
+        tls = stage1.get_textlines()
+        assert tls, "sample must contain text lines"
+        for i, tl in enumerate(tls):
+            tl.custom.setdefault("structure", {})["id"] = f"a{i + 1}"
+            tl.custom["structure"]["type"] = "article"
+        stage1.set_textline_attr(tls)
+        stage1.write_page_xml(str(p))
+
+        stage2 = Page(str(p))
+        assert stage2 is stage1  # cache hit: the live instance
+        art = stage2.get_article_dict()
+        assert set(art) == {f"a{i + 1}" for i in range(len(tls))}
+        # direct DOM edits outside the Page API: mark_dom_mutated refreshes
+        nd = stage2.get_child_by_id(stage2.page_doc, tls[0].id)[0]
+        nd.set("custom", "structure {id:zz; type:article;}")
+        stage2.mark_dom_mutated()
+        assert "zz" in stage2.get_article_dict()
+
+
 # ---------------- validation reject matrix ----------------
 # Deliberately broken documents the reference's Transkribus XSD pass would
 # reject (page.py:49-65 + schemas); the structural validator must reject
