@@ -192,7 +192,7 @@ def get_data_from_pagexml(path_to_pagexml: str) -> Tuple[List[Polygon], list]:
     page_file = Page(path_to_pagexml)
     lst_of_polygons = []
     lst_of_txtlines = []
-    for txtline in page_file.get_textlines():
+    for txtline in page_file.textlines:   # snapshot: shared across stages
         if txtline.baseline is None:
             continue
         baseline = txtline.baseline.to_polygon()

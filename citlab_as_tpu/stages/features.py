@@ -385,7 +385,7 @@ def build_input_and_target(page_path: str,
 
     page_file = Page(page_path)
     regions = page_file.get_regions()
-    text_lines = page_file.get_textlines()
+    text_lines = page_file.textlines   # snapshot: shared across stages
     norm_x, norm_y = (float(v) for v in page_file.get_image_resolution())
 
     text_regions = regions.get("TextRegion")

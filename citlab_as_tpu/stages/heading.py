@@ -200,7 +200,7 @@ class HeadingNetPostProcessor:
                       swt_feature_image: Optional[np.ndarray]) -> None:
         """Tag TextLines (custom structure{semantic_type:heading}) and
         TextRegions (type=heading) in place (heading:66-200)."""
-        text_lines = page_object.get_textlines()
+        text_lines = page_object.textlines   # snapshot
 
         sw_raw, th_raw, net_prob = {}, {}, {}
         for tl in text_lines:
@@ -425,7 +425,7 @@ class HeadingNetPostProcessor:
                 page_path, path_to_image=image_path,
                 fixed_height=self.fixed_height,
                 scaling_factor=self.scaling_factor)
-            text_lines = writer.page_object.get_textlines()
+            text_lines = writer.page_object.textlines   # snapshot
             swt_boxes, net_boxes = self.line_feature_boxes(
                 text_lines, writer.scaling_factor)
             pages.append((image_path, page_path, writer, text_lines))

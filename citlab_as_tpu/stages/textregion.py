@@ -41,7 +41,7 @@ def get_data_from_pagexml(path_to_pagexml: str, des_dist: int = 50,
 
     lst_of_polygons = []
     lst_of_txtlines = []
-    for txtline in page_file.get_textlines():
+    for txtline in page_file.textlines:   # snapshot: shared across stages
         if txtline.baseline is None:
             continue
         baseline = txtline.baseline.to_polygon()
