@@ -206,10 +206,33 @@ def _child(mode: str):
           n_pages=n)
 
 
+def _preflight(timeout_s: int = 240) -> None:
+    """Fail FAST if the axon relay is down: PJRT client creation then hangs
+    indefinitely inside make_c_api_client (ROUND3_NOTES.md — observed after
+    a relay outage), which would wedge the driver's bench run rather than
+    fail it. Probe device initialization in a subprocess with a timeout;
+    client creation normally completes in seconds."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench: device initialization did not complete within "
+            f"{timeout_s}s — axon relay down/wedged; aborting instead of "
+            f"hanging")
+    if r.returncode != 0:
+        raise SystemExit(
+            f"bench: device initialization failed (rc={r.returncode}): "
+            f"{r.stderr.strip()[-500:]}")
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1].startswith("--fallback"):
         _child(sys.argv[1])
         return
+    _preflight()
     try:
         e2e_pages_s, stages = bench_e2e()
         fwd_pages_s, mpix_s = bench_forward()
