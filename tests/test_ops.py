@@ -185,3 +185,31 @@ def test_trace_contours_multiple_components():
     img[20:25, 20:28] = 255
     polys = trace_contours(img)
     assert len(polys) == 2
+
+
+def test_trace_contours_nesting_matches_labeled():
+    """The label-free nesting grouping (default path) produces the same
+    components in the same order as grouping by a scipy label image,
+    across random blobby masks with holes and diagonal touches."""
+    import scipy.ndimage as ndi
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        m = np.zeros((120, 160), bool)
+        for _ in range(rng.randint(2, 12)):
+            y, x = rng.randint(0, 100), rng.randint(0, 140)
+            h, w = rng.randint(2, 28), rng.randint(2, 28)
+            m[y:y + h, x:x + w] = True
+        # punch holes (may create nested components inside them)
+        for _ in range(rng.randint(0, 6)):
+            y, x = rng.randint(0, 110), rng.randint(0, 150)
+            h, w = rng.randint(1, 10), rng.randint(1, 10)
+            m[y:y + h, x:x + w] = False
+        for _ in range(rng.randint(0, 4)):   # speckles inside holes
+            y, x = rng.randint(0, 118), rng.randint(0, 158)
+            m[y, x] = True
+        if not m.any():
+            continue
+        labels, _ = ndi.label(m, structure=np.ones((3, 3), np.int8))
+        via_labels = trace_contours(m, labels=labels)
+        via_nesting = trace_contours(m)
+        assert via_nesting == via_labels, f"trial {trial}"
