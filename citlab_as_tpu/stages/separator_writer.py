@@ -85,6 +85,7 @@ class SeparatorRegionToPageWriter(RegionToPageWriter):
                  scaling_factor=None, region_dict: Optional[Dict[str, list]] = None):
         super().__init__(path_to_page, path_to_image, fixed_height, scaling_factor)
         self.region_dict = region_dict or {}
+        self._lines_changed = False
 
     def remove_separator_regions_from_page(self) -> None:
         self.page_object.remove_regions(SEPARATORREGION)
@@ -93,16 +94,30 @@ class SeparatorRegionToPageWriter(RegionToPageWriter):
     def _split_text_lines(self, text_lines_dict, sep_rings) -> dict:
         """Split the lines in ``text_lines_dict`` ({orig_id: [lines]}) at one
         vertical separator polygon (writer:154-222)."""
+        # bbox prefilter: a line whose bbox is disjoint from the separator's
+        # cannot be contained, intersect, or split — skips every polygon
+        # test for the (overwhelmingly common) non-overlapping pairs
+        sep_ext = np.asarray(sep_rings[0], np.float64)
+        sx0, sy0 = sep_ext.min(axis=0)
+        sx1, sy1 = sep_ext.max(axis=0)
         for tl_id, text_lines in text_lines_dict.items():
             for text_line in list(text_lines):
                 if text_line.surr_p is None:
                     continue
-                line_poly = [list(text_line.surr_p.points_list)]
+                pts = text_line.surr_p.points_list
+                if (min(p[0] for p in pts) > sx1
+                        or max(p[0] for p in pts) < sx0
+                        or min(p[1] for p in pts) > sy1
+                        or max(p[1] for p in pts) < sy0):
+                    continue
+                line_poly = [list(pts)]
                 if polygon_contains(sep_rings, line_poly):
                     text_lines.remove(text_line)
+                    self._lines_changed = True
                     continue
                 if not polygons_intersect(line_poly, sep_rings):
                     continue
+                self._lines_changed = True
 
                 splits = polygon_difference(line_poly, sep_rings)
                 split_exteriors = [s[0] for s in splits]
@@ -166,8 +181,16 @@ class SeparatorRegionToPageWriter(RegionToPageWriter):
         if separator_type != SEPARATORREGION:
             orientation = separator_type[len(SEPARATORREGION) + 1:]
 
+        existing_ids = set(self.page_object.get_ids())
+        next_i = [1]
+
         def add_one(ring):
-            separator_id = self.page_object.get_unique_id(SEPARATORREGION)
+            # same ids as per-call get_unique_id, without a full-tree id
+            # scan per separator region
+            while f"{SEPARATORREGION}_{next_i[0]}" in existing_ids:
+                next_i[0] += 1
+            separator_id = f"{SEPARATORREGION}_{next_i[0]}"
+            existing_ids.add(separator_id)
             custom = ({"structure": {"orientation": orientation}}
                       if orientation else None)
             region = SeparatorRegion(separator_id, points=_round_pts(ring), custom=custom)
@@ -195,6 +218,7 @@ class SeparatorRegionToPageWriter(RegionToPageWriter):
                 continue
 
             if separator_type == f"{SEPARATORREGION}_vertical":
+                self._lines_changed = False
                 for text_region in text_regions:
                     text_lines_dict = {tl.id: [tl] for tl in text_region.text_lines}
                     for sep_rings in separator_polygons:
@@ -202,7 +226,11 @@ class SeparatorRegionToPageWriter(RegionToPageWriter):
                             text_lines_dict, sep_rings)
                     text_region.text_lines = [
                         tl for tls in text_lines_dict.values() for tl in tls]
-                self.page_object.set_text_regions(text_regions, overwrite=True)
+                if self._lines_changed:
+                    # rebuilding every region's DOM subtree is the bulk of
+                    # the write tail; skip it when no line was split/removed
+                    self.page_object.set_text_regions(text_regions,
+                                                      overwrite=True)
 
             self._add_separator_regions_to_page(
                 separator_polygons, separator_type, remove_holes)
