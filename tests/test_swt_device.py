@@ -134,6 +134,30 @@ def test_net_prob_sums_batch_sat_matches_map():
                 np.int64).sum()
 
 
+@pytest.mark.parametrize("mode", ["gather", "map"])
+def test_device_line_features_bridge_modes(mode, monkeypatch):
+    """Both extraction modes of the bridge (gather default / legacy map
+    chain) produce identical per-line features."""
+    monkeypatch.setenv("CITLAB_SWT_EXTRACT", mode)
+    rng = np.random.RandomState(6)
+    dt = _random_dt(rng, 200, 280)
+    prob = rng.randint(0, 256, (120, 170)).astype(np.uint8)
+    swt_boxes = np.asarray(_random_boxes(rng, 200, 280, 7), np.int32)
+    net_boxes = (swt_boxes * 0.6).astype(np.int32)
+    feats = DeviceLineFeatures()
+    netp, sw_th = feats(jnp.asarray(dt), jnp.asarray(prob),
+                        swt_boxes, net_boxes)
+    swt = StrokeWidthDistanceTransform(dark_on_bright=True)
+    post = prob / 255.0
+    for i, (x, y, bw, bh) in enumerate(swt_boxes):
+        hsw, hth = swt.textline_features(dt, (x, y, bw, bh))
+        np.testing.assert_allclose(sw_th[i], [hsw, hth], atol=1e-6)
+        nx, ny, nw, nh = net_boxes[i]
+        crop = post[ny:ny + nh, nx:nx + nw]
+        np.testing.assert_allclose(
+            netp[i], np.sum(crop) / (nw * nh), atol=1e-5)
+
+
 def test_device_line_features_bridge():
     rng = np.random.RandomState(4)
     dt = _random_dt(rng, 250, 350)
