@@ -80,10 +80,15 @@ def save_clustering_to_page(clustering: Sequence[int], page_path: str,
         f"Clustering ({len(clustering)}) doesn't match text regions "
         f"({len(text_regions)}) in {page_path}.")
 
+    lines = []
     for index, text_region in enumerate(text_regions):
         for text_line in text_region.text_lines:
             text_line.set_article_id(f"a{clustering[index]}")
-    page.set_text_regions(text_regions, overwrite=True)
+            lines.append(text_line)
+    # the article id lives in each line's custom attr: write those directly
+    # instead of rebuilding every region subtree (was ~half the GNN stage's
+    # per-page host tail)
+    page.set_textline_attr(lines)
 
     save_name = re.sub(r"\.xml$", "_clustering.xml", os.path.basename(page_path))
     page_dir = re.sub(r"page$", "clustering", os.path.dirname(os.path.relpath(page_path)))
