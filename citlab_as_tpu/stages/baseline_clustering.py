@@ -26,12 +26,34 @@ from citlab_as_tpu.utils.logging import setup_custom_logger
 logger = setup_custom_logger(__name__)
 
 
+_ILD_MEMO: "OrderedDict" = None
+
+
 def get_list_of_interline_distances(lst_of_polygons: Sequence[Polygon],
                                     des_dist: int = 5, max_d: int = 500) -> List[float]:
     """Interline distance per baseline (normalizes internally,
-    dbscan_baselines.py:35-110)."""
+    dbscan_baselines.py:35-110).
+
+    Content-keyed memo: the textregion stage recomputes exactly the
+    distances the baseline-clustering stage computed for the same page
+    (same baselines, same parameters) one stage earlier."""
+    global _ILD_MEMO
+    if _ILD_MEMO is None:
+        from collections import OrderedDict
+        _ILD_MEMO = OrderedDict()
+    key = (des_dist, max_d,
+           tuple((tuple(p.x_points), tuple(p.y_points))
+                 for p in lst_of_polygons))
+    hit = _ILD_MEMO.get(key)
+    if hit is not None:
+        _ILD_MEMO.move_to_end(key)
+        return list(hit)
     normed = norm_poly_dists(lst_of_polygons, des_dist=des_dist)
-    return calc_interline_distances(normed, des_dist=des_dist, max_d=max_d)
+    out = calc_interline_distances(normed, des_dist=des_dist, max_d=max_d)
+    _ILD_MEMO[key] = list(out)
+    while len(_ILD_MEMO) > 32:
+        _ILD_MEMO.popitem(last=False)
+    return out
 
 
 def get_list_of_scaled_polygons(lst_of_polygons: Sequence[Polygon],
