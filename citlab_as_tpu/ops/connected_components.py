@@ -18,7 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BG = jnp.int32(1 << 30)
+_BG = np.int32(1 << 30)   # np, not jnp: a module-level jnp constant
+# would initialize the default (axon) backend at import time in every
+# process that has not forced CPU yet (spawned workers hung on this
+# when the relay was down)
 
 
 def _run_min_scan(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:

@@ -19,8 +19,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.int32(1 << 20)
+_BIG = np.int32(1 << 20)  # np, not jnp: see connected_components._BG
 
 
 def _shift2d_dyn(arr: jnp.ndarray, dy_sign: int, dx_sign: int,

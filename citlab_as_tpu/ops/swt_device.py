@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BG = jnp.int32(1 << 30)
+_BG = np.int32(1 << 30)   # np, not jnp: see connected_components._BG
 
 
 def _shift_last(arr: jnp.ndarray, k: int, fill) -> jnp.ndarray:
@@ -353,6 +353,61 @@ def swt_line_stats_batch_gather(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
     return out[:n].reshape(b, l, 2)
 
 
+@partial(jax.jit, static_argnames=("crop_h", "crop_w", "clean_ccs", "chunk"))
+def swt_line_stats_batch_gather2(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
+                                 crop_h: int, crop_w: int, clean_ccs: int = 2,
+                                 chunk: int = _STATS_CHUNK):
+    """MXU variant of :func:`swt_line_stats_batch_gather`: the column
+    extraction is a one-hot bf16 matmul instead of a per-pixel gather
+    (TPU gathers with unit slice sizes measured tens of ms at production
+    sizes; a [chunk*crop_h, W+cw] x [W+cw, crop_w] one-hot contraction is
+    a few GMACs on the MXU). Exact: the one-hot selects a single uint8
+    value per output element, and integers up to 256 are exact in bf16.
+    Same contract and results as the gather variant — on-chip A/B decides
+    (CITLAB_SWT_EXTRACT=gather2)."""
+    b, l = boxes.shape[:2]
+    h, w = dt_u8.shape[1:]
+    padded = jnp.pad(dt_u8.astype(jnp.int32),
+                     ((0, 0), (0, crop_h), (0, crop_w)))
+    hp, wp = h + crop_h, w + crop_w
+    flat_rows = padded.reshape(b * hp, wp)
+    boxes_flat = boxes.reshape(b * l, 4)
+    pages = jnp.arange(b * l, dtype=jnp.int32) // l
+
+    n = b * l
+    chunk = min(chunk, n)
+    n_pad = -n % chunk
+    if n_pad:
+        boxes_flat = jnp.pad(boxes_flat, ((0, n_pad), (0, 0)))
+        pages = jnp.pad(pages, (0, n_pad))
+
+    ch_iota = jnp.arange(crop_h, dtype=jnp.int32)
+    x_iota = jnp.arange(wp, dtype=jnp.int32)
+    j_iota = jnp.arange(crop_w, dtype=jnp.int32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (1, crop_h, crop_w), 1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (1, crop_h, crop_w), 2)
+    outs = []
+    for s in range(0, boxes_flat.shape[0], chunk):
+        eb = boxes_flat[s:s + chunk]
+        pg = pages[s:s + chunk]
+        row_idx = pg[:, None] * hp + eb[:, 1][:, None] + ch_iota[None, :]
+        rows = jnp.take(flat_rows, row_idx.reshape(-1),
+                        axis=0).reshape(chunk, crop_h, wp)
+        # one-hot column selector [chunk, wp, crop_w]
+        onehot = (x_iota[None, :, None]
+                  == (eb[:, 0][:, None, None] + j_iota[None, None, :]))
+        crops = jnp.einsum(
+            "nhx,nxj->nhj", rows.astype(jnp.bfloat16),
+            onehot.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        valid = ((rr <= eb[:, 3][:, None, None])
+                 & (cc <= eb[:, 2][:, None, None]))
+        outs.append(_line_stats_from_crops(jnp.where(valid, crops, 0),
+                                           clean_ccs))
+    out = jnp.concatenate(outs, axis=0)
+    return out[:n].reshape(b, l, 2)
+
+
 @jax.jit
 def net_prob_sums_batch_sat(prob_u8: jnp.ndarray,
                             boxes: jnp.ndarray) -> jnp.ndarray:
@@ -530,7 +585,7 @@ class DeviceLineFeatures:
                   f"dt={dt_dev.shape} prob={prob_dev.shape}", flush=True)
         from citlab_as_tpu.ops.device_hold import hold as _hold
         mode = _os.environ.get("CITLAB_SWT_EXTRACT", "gather")
-        if mode == "gather":
+        if mode in ("gather", "gather2"):
             # gather/SAT formulation: no lax.map, no runtime-index
             # dynamic_slice — the program shape whose second cached
             # execution the axon relay poisons (ROUND3_NOTES.md). Only the
@@ -539,7 +594,9 @@ class DeviceLineFeatures:
             nb_dev = jnp.asarray(nb)
             dt_s = dt_dev[:b]
             prob_s = prob_dev[:b]
-            sw_th_dev = swt_line_stats_batch_gather(
+            stats_fn = (swt_line_stats_batch_gather2 if mode == "gather2"
+                        else swt_line_stats_batch_gather)
+            sw_th_dev = stats_fn(
                 dt_s, sb_dev, crop_h=self._swt_crop[0],
                 crop_w=self._swt_crop[1])
             ph, pw = int(prob_dev.shape[1]), int(prob_dev.shape[2])
@@ -549,8 +606,10 @@ class DeviceLineFeatures:
                 sums_dev = net_prob_sums_batch(prob_s, nb_dev,
                                                crop_h=self._net_crop[0],
                                                crop_w=self._net_crop[1])
-            _barrier(sw_th_dev)
-            _barrier(sums_dev)
+            # NO barrier here: dispatch stays async so a pipeline driver can
+            # enqueue the next group's programs behind these; materialize()
+            # does the round-2-validated scalar-read barrier just before
+            # the bulk readbacks
         else:
             # step-barriered lax.map chain (see _barrier): every device
             # action completes on a quiet queue before the next is enqueued
@@ -578,7 +637,13 @@ class DeviceLineFeatures:
               sw_th_dev, sums_dev)
 
         def materialize():
-            # every step above is barriered, so these read completed buffers
+            # gather mode: force the chain to completion on a quiet queue
+            # with 4-byte scalar reads BEFORE the bulk readbacks (the
+            # round-2-validated readback-race workaround); in map mode
+            # every step above is already barriered so these are no-ops
+            # beyond one roundtrip each
+            _barrier(sw_th_dev)
+            _barrier(sums_dev)
             sums = np.asarray(sums_dev, np.float64)
             sw_th_all = np.array(sw_th_dev)
             out = []

@@ -108,15 +108,16 @@ def main():
     # phase 3: legacy map-mode A/B in a fresh process (may crash — that is
     # the expected evidence; run LAST so it cannot poison the numbers above)
     if "--skip-map-ab" not in sys.argv:
-        print("phase 3: CITLAB_SWT_EXTRACT=map A/B (fresh process)...",
-              flush=True)
-        env = dict(os.environ, CITLAB_SWT_EXTRACT="map")
-        r = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__),
-             "--skip-map-ab"], env=env, timeout=3600)
-        print(f"map-mode child rc={r.returncode} "
-              f"(nonzero/crash = relay bug still live in map mode)",
-              flush=True)
+        for child_mode in ("gather2", "map"):
+            print(f"phase 3: CITLAB_SWT_EXTRACT={child_mode} A/B "
+                  f"(fresh process)...", flush=True)
+            env = dict(os.environ, CITLAB_SWT_EXTRACT=child_mode)
+            r = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__),
+                 "--skip-map-ab"], env=env, timeout=3600)
+            print(f"{child_mode} child rc={r.returncode} "
+                  f"(for map: nonzero/crash = relay bug still live)",
+                  flush=True)
 
 
 if __name__ == "__main__":

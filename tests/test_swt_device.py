@@ -100,6 +100,11 @@ def test_swt_line_stats_batch_gather_matches_map(seed):
         jnp.asarray(dts), jnp.asarray(boxes), crop_h=128, crop_w=256,
         chunk=8))  # small chunk -> exercises the multi-chunk static loop
     np.testing.assert_array_equal(via_gather, via_map)
+    from citlab_as_tpu.ops.swt_device import swt_line_stats_batch_gather2
+    via_mxu = np.asarray(swt_line_stats_batch_gather2(
+        jnp.asarray(dts), jnp.asarray(boxes), crop_h=128, crop_w=256,
+        chunk=8))  # one-hot-matmul column extraction
+    np.testing.assert_array_equal(via_mxu, via_map)
     swt = StrokeWidthDistanceTransform(dark_on_bright=True)
     host = np.array([[swt.textline_features(dts[i], tuple(boxes[i, j]))
                       for j in range(l)] for i in range(b)])
@@ -134,7 +139,7 @@ def test_net_prob_sums_batch_sat_matches_map():
                 np.int64).sum()
 
 
-@pytest.mark.parametrize("mode", ["gather", "map"])
+@pytest.mark.parametrize("mode", ["gather", "gather2", "map"])
 def test_device_line_features_bridge_modes(mode, monkeypatch):
     """Both extraction modes of the bridge (gather default / legacy map
     chain) produce identical per-line features."""
