@@ -408,6 +408,23 @@ def swt_line_stats_batch_gather2(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
     return out[:n].reshape(b, l, 2)
 
 
+@partial(jax.jit, static_argnames=("crop_h", "crop_w", "mxu", "clean_ccs",
+                                   "chunk"))
+def line_features_batch(dt_u8: jnp.ndarray, prob_u8: jnp.ndarray,
+                        swt_boxes: jnp.ndarray, net_boxes: jnp.ndarray,
+                        crop_h: int, crop_w: int, mxu: bool = False,
+                        clean_ccs: int = 2, chunk: int = _STATS_CHUNK):
+    """ONE program for a group's full per-line feature set: (SWT stats
+    [B, L, 2], exact net-prob sums [B, L]). A single executable means one
+    dispatch and one completion barrier per page group instead of two of
+    each (every host<->device roundtrip costs a tunnel round)."""
+    stats_fn = swt_line_stats_batch_gather2 if mxu else swt_line_stats_batch_gather
+    sw_th = stats_fn(dt_u8, swt_boxes, crop_h=crop_h, crop_w=crop_w,
+                     clean_ccs=clean_ccs, chunk=chunk)
+    sums = net_prob_sums_batch_sat(prob_u8, net_boxes)
+    return sw_th, sums
+
+
 @jax.jit
 def net_prob_sums_batch_sat(prob_u8: jnp.ndarray,
                             boxes: jnp.ndarray) -> jnp.ndarray:
@@ -594,15 +611,19 @@ class DeviceLineFeatures:
             nb_dev = jnp.asarray(nb)
             dt_s = dt_dev[:b]
             prob_s = prob_dev[:b]
-            stats_fn = (swt_line_stats_batch_gather2 if mode == "gather2"
-                        else swt_line_stats_batch_gather)
-            sw_th_dev = stats_fn(
-                dt_s, sb_dev, crop_h=self._swt_crop[0],
-                crop_w=self._swt_crop[1])
             ph, pw = int(prob_dev.shape[1]), int(prob_dev.shape[2])
             if 255 * ph * pw < 2 ** 31:
-                sums_dev = net_prob_sums_batch_sat(prob_s, nb_dev)
+                # one program -> one dispatch, one completion barrier
+                sw_th_dev, sums_dev = line_features_batch(
+                    dt_s, prob_s, sb_dev, nb_dev,
+                    crop_h=self._swt_crop[0], crop_w=self._swt_crop[1],
+                    mxu=(mode == "gather2"))
             else:   # SAT would overflow int32 on huge pages
+                stats_fn = (swt_line_stats_batch_gather2 if mode == "gather2"
+                            else swt_line_stats_batch_gather)
+                sw_th_dev = stats_fn(
+                    dt_s, sb_dev, crop_h=self._swt_crop[0],
+                    crop_w=self._swt_crop[1])
                 sums_dev = net_prob_sums_batch(prob_s, nb_dev,
                                                crop_h=self._net_crop[0],
                                                crop_w=self._net_crop[1])
@@ -636,6 +657,10 @@ class DeviceLineFeatures:
         _hold(dt_dev, prob_dev, sb_dev, nb_dev, dt_s, prob_s,
               sw_th_dev, sums_dev)
 
+        # one barrier suffices when both outputs come from one executable
+        single_program = mode in ("gather", "gather2") and (
+            255 * int(prob_dev.shape[1]) * int(prob_dev.shape[2]) < 2 ** 31)
+
         def materialize():
             # gather mode: force the chain to completion on a quiet queue
             # with 4-byte scalar reads BEFORE the bulk readbacks (the
@@ -643,7 +668,8 @@ class DeviceLineFeatures:
             # every step above is already barriered so these are no-ops
             # beyond one roundtrip each
             _barrier(sw_th_dev)
-            _barrier(sums_dev)
+            if not single_program:
+                _barrier(sums_dev)
             sums = np.asarray(sums_dev, np.float64)
             sw_th_all = np.array(sw_th_dev)
             out = []
