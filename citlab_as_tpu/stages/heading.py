@@ -197,12 +197,19 @@ class HeadingNetPostProcessor:
 
     def classify_page(self, page_object, scaling_factor,
                       net_output_post: Optional[np.ndarray],
-                      swt_feature_image: Optional[np.ndarray]) -> None:
+                      swt_feature_image: Optional[np.ndarray],
+                      save_features_key: Optional[str] = None) -> None:
         """Tag TextLines (custom structure{semantic_type:heading}) and
-        TextRegions (type=heading) in place (heading:66-200)."""
+        TextRegions (type=heading) in place (heading:66-200).
+
+        ``save_features_key``: page path under which to stash the per-line
+        (bbox, stroke_width, text_height) in ``line_features_by_page`` so
+        the GNN feature stage can reuse them instead of recomputing a host
+        distance transform (the device path saves them in fused_finish)."""
         text_lines = page_object.textlines   # snapshot
 
         sw_raw, th_raw, net_prob = {}, {}, {}
+        saved = {}
         for tl in text_lines:
             if tl.surr_p is None or swt_feature_image is None:
                 sw_raw[tl.id], th_raw[tl.id] = 0.0, 0
@@ -210,11 +217,15 @@ class HeadingNetPostProcessor:
                 bb = tl.surr_p.to_polygon().get_bounding_box()
                 sw_raw[tl.id], th_raw[tl.id] = self.swt.textline_features(
                     swt_feature_image, (bb.x, bb.y, bb.width, bb.height))
+                saved[tl.id] = ((bb.x, bb.y, bb.width, bb.height),
+                                sw_raw[tl.id], th_raw[tl.id])
             if self.weight_dict["net"] == 0 or net_output_post is None:
                 net_prob[tl.id] = 0.0
             else:
                 net_prob[tl.id] = self.get_net_prob_for_text_line(
                     net_output_post, tl, scaling_factor)
+        if save_features_key is not None and swt_feature_image is not None:
+            self.line_features_by_page[save_features_key] = saved
         self.classify_from_features(page_object, text_lines,
                                     net_prob, sw_raw, th_raw)
 
@@ -293,7 +304,8 @@ class HeadingNetPostProcessor:
                 page_path, path_to_image=image_path,
                 fixed_height=self.fixed_height, scaling_factor=self.scaling_factor)
             self.classify_page(writer.page_object, writer.scaling_factor,
-                               net_output_post, swt_feature_image)
+                               net_output_post, swt_feature_image,
+                               save_features_key=page_path + self.save_suffix)
             logger.debug("Saving heading results to %s%s", page_path,
                          self.save_suffix)
             writer.save_page_xml(page_path + self.save_suffix)
@@ -330,7 +342,8 @@ class HeadingNetPostProcessor:
                     fixed_height=self.fixed_height,
                     scaling_factor=self.scaling_factor)
                 self.classify_page(writer.page_object, writer.scaling_factor,
-                                   net_output_post, swt_feature_image)
+                                   net_output_post, swt_feature_image,
+                                   save_features_key=page_path + self.save_suffix)
                 writer.save_page_xml(page_path + self.save_suffix)
                 pages.append(writer.page_object)
 
@@ -465,7 +478,8 @@ class HeadingNetPostProcessor:
                     fixed_height=self.fixed_height,
                     scaling_factor=self.scaling_factor)
                 self.classify_page(writer.page_object, writer.scaling_factor,
-                                   net_output_post, swt_feature_image)
+                                   net_output_post, swt_feature_image,
+                                   save_features_key=page_path + self.save_suffix)
                 writer.save_page_xml(page_path + self.save_suffix)
                 pages_by_path[image_path] = writer.page_object
             return
