@@ -33,10 +33,13 @@ def run_full_workflow(image_paths: Sequence[str],
                       gnn_predictor=None,
                       batch_size: int = 7,
                       separator_fixed_height: int = 1500,
-                      heading_fixed_height: int = 900) -> dict:
+                      heading_fixed_height: int = 900,
+                      heading_device_swt: Optional[bool] = None) -> dict:
     """Returns {'pages': [...], 'timings': {stage: seconds}}. Predictors may
     be injected directly (tests / custom models); otherwise they are loaded
-    from the given model dirs (random-init when None)."""
+    from the given model dirs (random-init when None).
+    ``heading_device_swt`` overrides the heading stage's device-SWT
+    autodetection (None = on for accelerator backends)."""
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
     from citlab_as_tpu.stages.baseline_clustering import cluster_page
     from citlab_as_tpu.stages.features import generate_feature_jsons
@@ -73,14 +76,15 @@ def run_full_workflow(image_paths: Sequence[str],
             image_paths, page_paths, heading_model_dir, gnn_model_dir,
             clustering_method, out_dir, skip_heading, skip_gnn, timings,
             timed, heading_predictor, gnn_predictor, batch_size,
-            heading_fixed_height)
+            heading_fixed_height, heading_device_swt)
 
 
 def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
                                gnn_model_dir, clustering_method, out_dir,
                                skip_heading, skip_gnn, timings, timed,
                                heading_predictor, gnn_predictor, batch_size,
-                               heading_fixed_height):
+                               heading_fixed_height,
+                               heading_device_swt=None):
     """Stages 2-5 of :func:`run_full_workflow`, run inside a page_cache()
     scope: each stage re-reads the page file the previous stage just wrote,
     so the scoped parse memo removes one DOM parse per stage per page
@@ -102,6 +106,7 @@ def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
             list(image_paths), heading_predictor,
             fixed_height=heading_fixed_height,
             page_paths=page_paths, save_suffix="")
+        proc.use_device_swt = heading_device_swt
         timed("heading", lambda: proc.run_batched(batch_size=batch_size)
               if len(image_paths) > 1 else proc.run())
         heading_line_features = proc.line_features_by_page
@@ -155,7 +160,9 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                                 batch_size: int = 7,
                                 force: bool = False,
                                 separator_fixed_height: int = 1500,
-                                heading_fixed_height: int = 900) -> dict:
+                                heading_fixed_height: int = 900,
+                                heading_device_swt: Optional[bool] = None
+                                ) -> dict:
     """Wave-pipelined production driver (accelerator backends).
 
     Three-stage software pipeline over same-shape page groups. Small device
@@ -189,7 +196,8 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
             heading_predictor=heading_predictor, gnn_predictor=gnn_predictor,
             batch_size=batch_size,
             separator_fixed_height=separator_fixed_height,
-            heading_fixed_height=heading_fixed_height)
+            heading_fixed_height=heading_fixed_height,
+            heading_device_swt=heading_device_swt)
 
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
     from citlab_as_tpu.stages.baseline_clustering import cluster_page
@@ -214,6 +222,7 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
         list(image_paths), heading_predictor,
         fixed_height=heading_fixed_height,
         page_paths=page_paths_all, save_suffix="")
+    head_proc.use_device_swt = heading_device_swt
 
     max_batch = min(batch_size,
                     getattr(sep_predictor, "MAX_DEVICE_BATCH", batch_size))

@@ -323,7 +323,10 @@ class HeadingNetPostProcessor:
         import jax
         if (hasattr(self.predict_fn, "model")
                 and hasattr(self.predict_fn, "variables")
-                and jax.default_backend() != "cpu"):
+                and (jax.default_backend() != "cpu"
+                     or self.use_device_swt is True)):
+            # explicit use_device_swt=True forces the fused path even on
+            # CPU (tests exercising the production device-SWT shape)
             return self.run_batched_fused(batch_size=batch_size)
         pages = []
         in_flight = None

@@ -33,6 +33,7 @@ _SLOW_TESTS = {
     "test_arunet.py::test_forward_shapes",
     "test_arunet.py::test_odd_input_sizes",
     "test_arunet.py::test_predict_is_softmax",
+    "test_cli.py::test_full_workflow_pipelined_device_swt_matches_sequential",
     "test_cli.py::test_full_workflow_smoke",
     "test_edge_cases.py::test_tiny_image_through_predictor",
     "test_export.py::test_export_cli_from_trained_checkpoint",

@@ -243,3 +243,61 @@ def test_full_workflow_pipelined_forced_matches_sequential(tmp_path):
     assert len(seq_clusters) == len(pipe_clusters) == 5
     for a, b in zip(seq_clusters, pipe_clusters):
         assert normalized(a) == normalized(b), f"{a} differs"
+
+
+def test_full_workflow_pipelined_device_swt_matches_sequential(tmp_path):
+    """The PRODUCTION on-chip shape — wave loop + heading device-SWT
+    per-line feature programs (fused_drain_dispatch staging) — forced onto
+    the CPU backend and byte-compared against the sequential driver with
+    the host SWT path. Tags (hence bytes) must match: the device per-line
+    features are pinned bit-exact to the host ones in test_swt_device."""
+    import re
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from bench_e2e import make_demo_page
+    from citlab_as_tpu.cli.run_full_workflow import (
+        run_full_workflow, run_full_workflow_pipelined)
+    from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def ckpt(name):
+        d = os.path.join(repo, "models_ckpt", name)
+        return d if os.path.isdir(d) else None
+
+    corpora = {}
+    for variant in ("seq", "pipe"):
+        work = tmp_path / variant
+        work.mkdir()
+        rng = np.random.RandomState(3)
+        corpora[variant] = [
+            make_demo_page(str(work), f"p{i}", rng, w=500, h=700)[0]
+            for i in range(3)]
+
+    sep = SegmentationPredictor(ckpt("separator"))
+    head = SegmentationPredictor(ckpt("heading"))
+    gnn = RelationPredictor(ckpt(os.path.join("gnn", "best", "f1")))
+
+    kw = dict(separator_fixed_height=512, heading_fixed_height=384,
+              batch_size=2)
+    run_full_workflow(
+        corpora["seq"], out_dir=str(tmp_path / "seq_out"),
+        separator_predictor=sep, heading_predictor=head, gnn_predictor=gnn,
+        heading_device_swt=False, **kw)
+    res = run_full_workflow_pipelined(
+        corpora["pipe"], out_dir=str(tmp_path / "pipe_out"),
+        separator_predictor=sep, heading_predictor=head, gnn_predictor=gnn,
+        force=True, heading_device_swt=True, **kw)
+    assert len(res["clustered"]) == 3
+
+    def normalized(path):
+        return re.sub(rb"<LastChange>[^<]*</LastChange>", b"<LastChange/>",
+                      path.read_bytes())
+
+    for i in range(3):
+        a = normalized(tmp_path / "seq" / "page" / f"p{i}.xml.xml")
+        b = normalized(tmp_path / "pipe" / "page" / f"p{i}.xml.xml")
+        assert a == b, f"page {i} xml differs (device-SWT pipelined vs host)"
