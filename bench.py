@@ -61,8 +61,18 @@ def _make_pages(work: str, n: int, seed: int = 0):
     return [make_demo_page(work, f"b{i:03d}", rng)[0] for i in range(n)]
 
 
+def _driver():
+    """Sequential by default; CITLAB_BENCH_DRIVER=pipelined switches to the
+    wave-pipelined driver (set it after an on-chip A/B shows it winning)."""
+    from citlab_as_tpu.cli import run_full_workflow as m
+    if os.environ.get("CITLAB_BENCH_DRIVER") == "pipelined":
+        import functools
+        return functools.partial(m.run_full_workflow_pipelined, force=True)
+    return m.run_full_workflow
+
+
 def bench_e2e():
-    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+    run_full_workflow = _driver()
 
     image_paths = _make_pages("/tmp/bench_repo_e2e", PAGES + BATCH)
     sep, head, gnn = _make_predictors()
@@ -95,7 +105,7 @@ def bench_e2e_fresh_process(n_pages: int):
     invocation. Program binaries come warm from the persistent compile
     cache, but their load/first-dispatch overhead lands inside the timed
     window (reported in the methodology note)."""
-    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow
+    run_full_workflow = _driver()
 
     image_paths = _make_pages("/tmp/bench_repo_e2e_fb", n_pages)
     sep, head, gnn = _make_predictors()
