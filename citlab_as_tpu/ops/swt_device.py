@@ -607,8 +607,11 @@ class DeviceLineFeatures:
             # dynamic_slice — the program shape whose second cached
             # execution the axon relay poisons (ROUND3_NOTES.md). Only the
             # round-2-validated end-of-chain scalar barriers are kept.
-            sb_dev = jnp.asarray(sb)
-            nb_dev = jnp.asarray(nb)
+            # ONE box upload per group (each host->device transfer is a
+            # tunnel roundtrip); the on-device slices are free views
+            boxes_dev = jnp.asarray(np.stack([sb, nb]))
+            sb_dev = boxes_dev[0]
+            nb_dev = boxes_dev[1]
             dt_s = dt_dev[:b]
             prob_s = prob_dev[:b]
             ph, pw = int(prob_dev.shape[1]), int(prob_dev.shape[2])
