@@ -91,8 +91,10 @@ def make_fused_separator_fn(model):
             lambda b: remove_small_components(b, jnp.int32(100)))(binary)
         horizontal, vertical = _separator_morphology_device(
             cleaned.astype(jnp.float32), h_kernel, v_kernel, noise_kernel)
-        return (pack_bits_device(horizontal > 0),
-                pack_bits_device(vertical > 0))
+        # stacked [2, B, H, W/32]: ONE readback per group instead of two
+        # (each device->host transfer is a tunnel roundtrip)
+        return jnp.stack([pack_bits_device(horizontal > 0),
+                          pack_bits_device(vertical > 0)])
 
     return fused
 
@@ -326,31 +328,34 @@ class SeparatorNetPostProcessor:
             while len(images) < max_batch:
                 images = images + [images[-1]]
             batch = jnp.asarray(np.stack(images))
-        h_packed, v_packed = fused(
+        hv_packed = fused(
             self.predict_fn.variables, batch, out_h=out_h, out_w=out_w,
             h_kernel=h_kernel, v_kernel=v_kernel, noise_kernel=noise_kernel,
             threshold=self.threshold,
             pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
         from citlab_as_tpu.ops.device_hold import hold
-        hold(batch, h_packed, v_packed)
-        return (chunk, h_packed, v_packed, out_w, [sc] * len(chunk))
+        hold(batch, hv_packed)
+        return (chunk, hv_packed, out_w, [sc] * len(chunk))
 
     def fused_materialize(self, entry):
-        """Device barrier only: download the group's bit-packed masks.
-        A pipeline driver calls this BEFORE dispatching the next group's big
-        programs so the whole host tail then overlaps device compute."""
-        chunk, h_packed, v_packed, out_w, scales = entry
-        return (chunk, np.asarray(h_packed), np.asarray(v_packed), out_w,
-                scales)
+        """Device barrier only: download the group's bit-packed masks in
+        ONE readback (the program returns them stacked). A pipeline driver
+        calls this BEFORE dispatching the next group's big programs so the
+        whole host tail then overlaps device compute."""
+        chunk, hv_packed, out_w, scales = entry
+        hv = np.asarray(hv_packed)
+        return (chunk, hv[0], hv[1], out_w, scales)
 
     def fused_drain(self, entry, pages_by_path: dict, phase=None) -> None:
         """Materialize one in-flight group (no-op if already materialized)
         and do the host tail (unpack, contour trace, rescale, write
         PAGE-XML)."""
         import time as _time
-        chunk, h_packed, v_packed, out_w, scales = entry
         t0 = _time.perf_counter()
-        h_packed = np.asarray(h_packed)   # materialize (device barrier)
+        if len(entry) == 4:               # raw in-flight entry
+            entry = self.fused_materialize(entry)
+        chunk, h_packed, v_packed, out_w, scales = entry
+        h_packed = np.asarray(h_packed)
         v_packed = np.asarray(v_packed)
         if phase is not None:
             phase["materialize"] += _time.perf_counter() - t0
