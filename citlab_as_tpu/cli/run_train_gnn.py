@@ -8,6 +8,10 @@ from citlab_as_tpu.utils.io import load_list_file
 
 
 def main(argv: Optional[Sequence[str]] = None):
+    # multi-host bring-up when a coordinator is configured via the standard
+    # JAX env vars; no-op single-host (parallel/mesh.py)
+    from citlab_as_tpu.parallel.mesh import initialize_multihost
+    initialize_multihost()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", type=str, required=True)
     parser.add_argument("--train_list", type=str, required=True)

@@ -75,3 +75,37 @@ def data_parallel_jit(fn):
     the data-parallel program (gradient all-reduce over ICI) from the input
     shardings."""
     return jax.jit(fn)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> bool:
+    """Optional multi-host bring-up: ``jax.distributed.initialize`` with
+    explicit args or the standard env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID); after it, ``jax.devices()`` spans
+    the full slice and :func:`make_mesh` shards over every chip while each
+    host feeds only its local shard.
+
+    Returns True when initialization ran, False when no coordinator is
+    configured (single-host — the common case; the reference's
+    MirroredStrategy training is single-host multi-GPU too,
+    trainer_base.py:239-252). Safe to call twice (second call is a no-op).
+    """
+    import os
+
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if coordinator_address is None:
+        return False
+    if jax._src.distributed.global_state.client is not None:  # already up
+        return True
+    kwargs = {"coordinator_address": coordinator_address}
+    num_processes = num_processes or os.environ.get("JAX_NUM_PROCESSES")
+    process_id = process_id if process_id is not None \
+        else os.environ.get("JAX_PROCESS_ID")
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    jax.distributed.initialize(**kwargs)
+    return True

@@ -126,3 +126,14 @@ def test_fused_separator_pipeline_sharded():
 
     np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_sh))
     np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_sh))
+
+
+def test_initialize_multihost_noop_without_coordinator(monkeypatch):
+    """Single-host (no coordinator configured): returns False and leaves
+    the runtime untouched; with a coordinator env var set it attempts real
+    initialization (not exercised here — no second host in CI)."""
+    from citlab_as_tpu.parallel.mesh import initialize_multihost
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert initialize_multihost() is False
+    import jax
+    assert len(jax.devices()) >= 1  # runtime still healthy
