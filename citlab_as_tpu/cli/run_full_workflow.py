@@ -334,6 +334,12 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
         for _ in range(3):   # flush the three pipeline stages
             advance(None, None)
 
+    # pipeline fully drained -> quiet queue: drop the relay-poison pins
+    # (upload batches + per-group outputs held by ops.device_hold), which
+    # otherwise accumulate ~20 MB per page group over a long run
+    from citlab_as_tpu.ops.device_hold import release
+    release()
+
     clustered = [clustered_by_path[p] for p in image_paths
                  if p in clustered_by_path]
     timings["total"] = timings.get("total", 0.0) + _time.time() - t_start
