@@ -189,3 +189,18 @@ def test_device_line_features_bridge():
         crop = post[ny:ny + nh, nx:nx + nw]
         np.testing.assert_allclose(
             netp[i], np.sum(crop) / (nw * nh), atol=1e-5)
+
+
+def test_device_line_features_zero_line_page():
+    """A group containing a page with NO text lines must not break the
+    batched dispatch (empty [0, 4] box arrays)."""
+    dt = np.zeros((100, 150), np.uint8)
+    prob = np.zeros((60, 90), np.uint8)
+    feats = DeviceLineFeatures()
+    out = feats.dispatch_batch(
+        jnp.asarray(dt)[None].repeat(2, 0),
+        jnp.asarray(prob)[None].repeat(2, 0),
+        [np.zeros((0, 4), np.int32), np.asarray([[5, 5, 20, 10]], np.int32)],
+        [np.zeros((0, 4), np.int32), np.asarray([[3, 3, 12, 6]], np.int32)])()
+    assert out[0][0].shape == (0,) and out[0][1].shape == (0, 2)
+    assert out[1][0].shape == (1,) and out[1][1].shape == (1, 2)
