@@ -329,12 +329,28 @@ class RelationPredictor:
 
     def _batch_inputs(self, graphs: Sequence[dict],
                       images: Optional[Sequence[np.ndarray]]):
-        """Shared-bucket union-graph inputs for a page group."""
+        """Shared-bucket union-graph inputs for a page group.
+
+        Buckets (nodes, edges, group size) are GROW-ONLY across calls: a
+        group smaller than a previous one pads up to the seen maximum, so
+        the whole corpus runs one executable after the first group —
+        distinct shapes cost a remote compile (minutes over the tunnel) or
+        at least an executable load each."""
+        ns_real = len(graphs)
+        group = max(getattr(self, "_group_bucket", 1), ns_real)
+        self._group_bucket = group
+        graphs = list(graphs) + [graphs[-1]] * (group - ns_real)
+        if images is not None:
+            images = list(images) + [images[-1]] * (group - len(images))
         corrected = [self._correct_graph(g) for g in graphs]
         ns = [c[0] for c in corrected]
-        max_nodes = self._bucket(max(ns))
-        max_edges = self._edge_bucket(
-            max(max(len(c[2]) for c in corrected), 1))
+        max_nodes = max(getattr(self, "_node_bucket", 1),
+                        self._bucket(max(ns)))
+        self._node_bucket = max_nodes
+        max_edges = max(getattr(self, "_edges_bucket", 1), self._edge_bucket(
+            max(max(len(c[2]) for c in corrected), 1)))
+        self._edges_bucket = max_edges
+        ns = ns[:ns_real]   # padding pages are sliced away at materialize
         padded = []
         for n, node_features, edges, edge_features in corrected:
             rels, _, _ = build_full_relations(n, None)
@@ -343,10 +359,12 @@ class RelationPredictor:
                 max_nodes, max_edges, max_nodes * max_nodes))
         inputs = {k: jnp.asarray(v) for k, v in batch_graphs(padded).items()}
         if self.image_input and images is not None:
-            max_points = self._edge_bucket(max(
+            max_points = max(getattr(self, "_points_bucket", 1),
+                             self._edge_bucket(max(
                 max((np.asarray(r).shape[1] for r in
                      g.get("visual_regions_nodes", [])), default=1)
-                for g in graphs))
+                for g in graphs)))
+            self._points_bucket = max_points
             vis = [self._visual_inputs(g, im, max_nodes, max_edges,
                                        max_points=max_points)
                    for g, im in zip(graphs, images)]
