@@ -612,8 +612,9 @@ class DeviceLineFeatures:
             boxes_dev = jnp.asarray(np.stack([sb, nb]))
             sb_dev = boxes_dev[0]
             nb_dev = boxes_dev[1]
-            dt_s = dt_dev[:b]
-            prob_s = prob_dev[:b]
+            # skip the (device-op) slice when the group fills the batch
+            dt_s = dt_dev if b == dt_dev.shape[0] else dt_dev[:b]
+            prob_s = prob_dev if b == prob_dev.shape[0] else prob_dev[:b]
             ph, pw = int(prob_dev.shape[1]), int(prob_dev.shape[2])
             if 255 * ph * pw < 2 ** 31:
                 # one program -> one dispatch, one completion barrier
