@@ -227,3 +227,41 @@ def test_exact_difference_shared_edges_degenerate():
     np.testing.assert_allclose(polygon_area(out[0]), 50)
     # identical polygons -> empty difference
     assert polygon_difference(a, [list(a[0])]) == []
+
+
+def test_exact_difference_single_vertex_tangency():
+    """Clip rings touching the subject (and each other) at single lattice
+    vertices — the junction case _pick_leftmost resolves (ADVICE r2 #4).
+    The result must reproduce the raster truth exactly away from the 1-px
+    boundary band, conserve area, and stay a valid ring decomposition."""
+    from citlab_as_tpu.geometry.booleans import _rings_bbox, polygon_area
+    from citlab_as_tpu.geometry.clipping import boolean_area
+
+    a = [[(0, 0), (20, 0), (20, 20), (0, 20)]]
+    # two clip squares meeting at (10, 10) — checkerboard pinch
+    b = [[(4, 4), (10, 4), (10, 10), (4, 10)],
+         [(10, 10), (16, 10), (16, 16), (10, 16)]]
+    exact = polygon_difference(a, b)
+    # area conservation: 400 - 36 - 36
+    total = sum(polygon_area(p) for p in exact)
+    assert abs(total - 328.0) < 1e-9
+    assert abs(boolean_area(a, b, "difference") - 328.0) < 1e-9
+    # pixel-exact against the raster mask (all edges lattice-aligned)
+    x0, y0, x1, y1 = _rings_bbox([a])
+    shape = (y1 - y0 + 1, x1 - x0 + 1)
+    mask_raster = rasterize_rings(a, (x0, y0), shape) \
+        & ~rasterize_rings(b, (x0, y0), shape)
+    mask_exact = np.zeros(shape, bool)
+    for poly in exact:
+        mask_exact ^= rasterize_rings(poly, (x0, y0), shape)
+    assert (mask_exact == mask_raster).all()
+    # rings are OPEN (module convention); no degenerate or repeated
+    # directed edges, including the closing wrap-around edge
+    for poly in exact:
+        for ring in poly:
+            assert len(ring) >= 3
+            seen = set()
+            for p, q in zip(ring, ring[1:] + ring[:1]):
+                assert p != q
+                assert (p, q) not in seen
+                seen.add((p, q))
