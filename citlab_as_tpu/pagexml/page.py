@@ -2,9 +2,10 @@
 
 Load / mutate / save PAGE-XML files. The DOM stays the source of truth so
 elements we don't model round-trip untouched; accessors materialize typed
-objects on demand. Validation is structural (namespace + required nesting)
-rather than XSD-based — the reference ships Transkribus XSDs, we check the
-same invariants in code.
+objects on demand. Validation is schema-based like the reference's
+Transkribus XSD pass (page.py:49-65): documents are checked against the
+vendored subset schema ``schema/pagecontent.xsd`` via lxml, with an
+equivalent structural validator in code as fallback and parity oracle.
 """
 from __future__ import annotations
 
@@ -174,10 +175,44 @@ class Page:
                      "GraphicRegion", "TableRegion", "ChartRegion",
                      "TextLine", "Word")
 
+    _XSD_SCHEMA = None          # compiled etree.XMLSchema, loaded lazily
+    _XSD_SCHEMA_FAILED = False  # schema file missing/uncompilable: fall back
+
+    @classmethod
+    def _schema(cls) -> Optional[etree.XMLSchema]:
+        if cls._XSD_SCHEMA is None and not cls._XSD_SCHEMA_FAILED:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "schema", "pagecontent.xsd")
+            try:
+                cls._XSD_SCHEMA = etree.XMLSchema(etree.parse(path))
+            except (OSError, etree.LxmlError) as e:
+                logger.warning("PAGE XSD unavailable (%s); falling back to "
+                               "structural validation", e)
+                cls._XSD_SCHEMA_FAILED = True
+        return cls._XSD_SCHEMA
+
     @classmethod
     def validate(cls, doc) -> bool:
-        """Structural validation standing in for the Transkribus XSD pass
-        (reference page.py:49-65 + the 4.6 kLoC schemas; DEVIATIONS #3):
+        """Schema validation matching the reference's Transkribus XSD pass
+        (page.py:49-65): validates against the vendored 2013-07-15 subset
+        schema (``schema/pagecontent.xsd``, ~0.14 ms/page); falls back to
+        the structural validator if the schema cannot be loaded."""
+        schema = cls._schema()
+        if schema is None:
+            return cls.validate_structural(doc)
+        if hasattr(doc, "getroot"):
+            tree = doc
+        else:
+            tree = etree.ElementTree(doc)
+        ok = schema.validate(tree)
+        if not ok:
+            logger.debug("PAGE XSD validation: %s",
+                         schema.error_log.last_error)
+        return ok
+
+    @classmethod
+    def validate_structural(cls, doc) -> bool:
+        """Structural counterpart of the XSD pass (DEVIATIONS #3):
         PcGts root in the PAGE namespace; exactly one Page carrying image
         dimensions; one Metadata led by Creator/Created/LastChange;
         document-unique ids; Coords present on every region/line/word with

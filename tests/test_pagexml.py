@@ -282,8 +282,9 @@ def test_page_cache_snapshot_freshness(tmp_path):
 
 # ---------------- validation reject matrix ----------------
 # Deliberately broken documents the reference's Transkribus XSD pass would
-# reject (page.py:49-65 + schemas); the structural validator must reject
-# each one and accept the well-formed sample (DEVIATIONS #3).
+# reject (page.py:49-65 + schemas); BOTH the vendored-XSD validator and the
+# structural fallback must reject each one and accept the well-formed
+# sample (DEVIATIONS #3).
 
 def _mutate_sample(fn):
     doc = etree.ElementTree(etree.fromstring(SAMPLE.encode()))
@@ -298,6 +299,13 @@ def _ns(name):
 def test_validate_accepts_sample():
     doc = etree.ElementTree(etree.fromstring(SAMPLE.encode()))
     assert Page.validate(doc)
+    assert Page.validate_structural(doc)
+
+
+def test_validate_uses_xsd():
+    """The schema file must load — validate() runs the real XSD pass, not
+    just the structural fallback."""
+    assert Page._schema() is not None
 
 
 def test_validate_accepts_pipeline_output(tmp_path):
@@ -372,4 +380,31 @@ def test_validate_rejects(breakage):
         doc = _mutate_sample(mutate)
     except _Replace as r:
         doc = etree.ElementTree(r.new_root)
+    assert not Page.validate(doc), breakage
+    assert not Page.validate_structural(doc), breakage
+
+
+@pytest.mark.parametrize("breakage", [
+    "bad_region_type", "line_before_coords", "word_after_textequiv",
+    "region_without_id", "unknown_element",
+])
+def test_validate_xsd_rejects_beyond_structural(breakage):
+    """Violations only the schema's content models catch (the structural
+    validator deliberately skips vocabulary/order checks — DEVIATIONS #3)."""
+    def mutate(root):
+        if breakage == "bad_region_type":
+            root.find(f".//{_ns('TextRegion')}").set("type", "not-a-type")
+        elif breakage == "line_before_coords":
+            region = root.find(f".//{_ns('TextRegion')}")
+            region.append(region.find(_ns("Coords")))  # moves Coords last
+        elif breakage == "word_after_textequiv":
+            line = root.find(f".//{_ns('TextLine')}")
+            line.append(line.find(_ns("Word")))
+        elif breakage == "region_without_id":
+            del root.find(f".//{_ns('TextRegion')}").attrib["id"]
+        elif breakage == "unknown_element":
+            page = root.find(_ns("Page"))
+            etree.SubElement(page, _ns("MadeUpRegion"))
+
+    doc = _mutate_sample(mutate)
     assert not Page.validate(doc), breakage
