@@ -38,7 +38,10 @@ def main():
     paths = [make_demo_page(work, f"b{i:03d}", rng)[0]
              for i in range(PAGES + BATCH)]
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
     def dir_or_none(d):
+        d = os.path.join(repo, d)
         return d if os.path.isdir(d) else None
     sep = SegmentationPredictor(dir_or_none("models_ckpt/separator"))
     head = SegmentationPredictor(dir_or_none("models_ckpt/heading"))
@@ -56,10 +59,11 @@ def main():
     timings = {}
     dt = run(paths[BATCH:], f"{work}/out", timings)
     per_page = {k: round(v / PAGES * 1000, 1) for k, v in sorted(
-        timings.items(), key=lambda kv: -kv[1])}
+        timings.items(), key=lambda kv: -kv[1]) if k != "total"}
     print(json.dumps({
         "driver": "sequential" if sequential else "pipelined",
         "pages_s": round(PAGES / dt, 3),
+        "total_ms_per_page": round(dt / PAGES * 1000, 1),
         "part_ms_per_page": per_page,
         "sum_parts_ms": round(sum(v for k, v in timings.items()
                                   if k != "total") / PAGES * 1000, 1),
