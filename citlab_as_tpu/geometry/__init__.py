@@ -2,10 +2,8 @@
 
 Host (numpy-vectorized) implementations of the geometry primitives that the
 reference keeps in python_util/geometry/ plus the Java hot-loop kernel
-(java_util/Util.class). The jittable padded-tensor versions used on device
-live in :mod:`citlab_as_tpu.geometry.jax_kernels`; an optional C++ kernel
-(native/geometry_kernel.cpp, loaded via ctypes) accelerates the
-O(N^2 P^2) pairwise loops on host.
+(java_util/Util.class). An optional C++ kernel (native/geometry_kernel.cpp,
+loaded via ctypes) accelerates the O(N^2 P^2) pairwise loops on host.
 """
 from citlab_as_tpu.geometry.rectangle import Rectangle
 from citlab_as_tpu.geometry.polygon import (

@@ -21,6 +21,7 @@ from PIL import Image, ImageDraw
 from citlab_as_tpu.geometry.util import convex_hull
 from citlab_as_tpu.ops.morphology import dilate
 from citlab_as_tpu.pagexml import Page
+from citlab_as_tpu.pagexml import constants as C
 from citlab_as_tpu.pagexml.constants import TextRegionTypes
 from citlab_as_tpu.utils.io import get_img_from_page_path, get_page_path, load_image
 
@@ -235,9 +236,10 @@ class RegionGroundTruthGenerator(GroundTruthGenerator):
         self.make_disjoint_all()
         self.add_other_channel()
 
-    def get_heading_regions_list(self, page: Page) -> list:
-        """TextRegions typed heading or with heading-tagged lines
-        (region_ground_truth_generator.py:311-363)."""
+    def get_heading_regions_for_page(self, page: Page) -> list:
+        """TextRegions typed heading or with heading-tagged lines (the
+        heading-stage output shape; cf. region_ground_truth_generator.py:
+        311-363 which selects via region @type + custom structure)."""
         out = []
         for tr in page.get_text_regions():
             if tr.region_type == TextRegionTypes.HEADING:
@@ -247,6 +249,117 @@ class RegionGroundTruthGenerator(GroundTruthGenerator):
                    for tl in tr.text_lines):
                 out.append(tr)
         return out
+
+    # ---- reference-parity region getters (one entry per page) ----
+
+    def get_regions_list(self, region_types: Sequence[str]) -> List[list]:
+        """All regions of the given PAGE element names, one list per page
+        (region_ground_truth_generator.py:296-311)."""
+        out = []
+        for page in self.page_object_lst:
+            page_regions = page.get_regions()
+            regions = []
+            for region_type in region_types:
+                regions += page_regions.get(region_type, [])
+            out.append(regions)
+        return out
+
+    def get_image_regions_list(self) -> List[list]:
+        """Graphic + Image regions (region_ground_truth_generator.py:283-288)."""
+        return self.get_regions_list([C.GRAPHICREGION, C.IMAGEREGION])
+
+    def get_separator_regions_list(self) -> List[list]:
+        return self.get_regions_list([C.SEPARATORREGION])
+
+    def get_table_regions_list(self) -> List[list]:
+        return self.get_regions_list([C.TABLEREGION])
+
+    def get_advert_regions_list(self) -> List[list]:
+        return self.get_regions_list([C.ADVERTREGION])
+
+    def get_valid_text_regions(self, intersection_thresh: int = 20,
+                               region_types: Optional[Sequence[str]] = None
+                               ) -> List[list]:
+        """TextRegions of the given @type values, dropping any whose bounding
+        box is contained in, or overlaps by more than ``intersection_thresh``
+        pixels in BOTH dimensions with, an image region's bounding box
+        (region_ground_truth_generator.py:219-263). ``intersection_thresh < 0``
+        disables the image-intersection check entirely."""
+        if region_types is None:
+            region_types = [TextRegionTypes.PARAGRAPH]
+        text_regions_list = [
+            [tr for tr in page.get_text_regions()
+             if tr.region_type in region_types]
+            for page in self.page_object_lst]
+        if intersection_thresh < 0:
+            return text_regions_list
+
+        image_regions_list = self.get_image_regions_list()
+        valid_list = []
+        for text_regions, image_regions in zip(text_regions_list,
+                                               image_regions_list):
+            if not image_regions:
+                valid_list.append(text_regions)
+                continue
+            image_bbs = [ir.points.to_polygon().get_bounding_box()
+                         for ir in image_regions]
+            valid = []
+            for tr in text_regions:
+                tr_bb = tr.points.to_polygon().get_bounding_box()
+                for image_bb in image_bbs:
+                    if image_bb.contains_rectangle(tr_bb):
+                        break
+                    inter = tr_bb.intersection(image_bb)
+                    if (inter.height > intersection_thresh
+                            and inter.width > intersection_thresh):
+                        break
+                else:
+                    valid.append(tr)
+            valid_list.append(valid)
+        return valid_list
+
+    def get_heading_regions_list(self, custom_structure_type: str,
+                                 custom_structure_subtypes: Sequence[str]
+                                 ) -> List[list]:
+        """Heading-typed TextRegions whose custom structure {type, subtype}
+        matches; subtype '' selects regions WITHOUT a subtype entry
+        (region_ground_truth_generator.py:341-367)."""
+        valid_text_regions = self.get_valid_text_regions(
+            region_types=[TextRegionTypes.HEADING])
+        out = []
+        for page_text_regions in valid_text_regions:
+            regions = []
+            for tr in page_text_regions:
+                struct = tr.custom.get("structure", {})
+                for subtype in custom_structure_subtypes:
+                    if (subtype == "" and struct.get("type") ==
+                            custom_structure_type and "subtype" not in struct):
+                        regions.append(tr)
+                    elif (struct.get("type") == custom_structure_type
+                          and struct.get("subtype") == subtype):
+                        regions.append(tr)
+            out.append(regions)
+        return out
+
+    def get_title_regions_list(self, title_region_types: Sequence[str]
+                               ) -> List[list]:
+        """Title regions; valid subtypes are ['headline', 'subheadline',
+        'publishing_stmt', 'motto', 'other']
+        (region_ground_truth_generator.py:316-327)."""
+        return self.get_heading_regions_list("title", title_region_types)
+
+    def get_classic_heading_regions_list(self, heading_region_types:
+                                         Sequence[str]) -> List[list]:
+        """'Classic' heading regions; valid subtypes are ['overline', '',
+        'subheadline', 'author', 'other'] with '' the untagged title
+        (region_ground_truth_generator.py:329-339)."""
+        return self.get_heading_regions_list("heading", heading_region_types)
+
+    def get_caption_text_regions(self) -> List[list]:
+        """Caption regions through the image-intersection filter
+        (region_ground_truth_generator.py:335-341)."""
+        return self.get_valid_text_regions(
+            region_types=[TextRegionTypes.CAPTION])
 
     def create_ground_truth_json(self, save_folder: str) -> str:
         """Region polygons per page as JSON (region_ground_truth_generator.py:

@@ -235,3 +235,87 @@ def test_bert_pair_export(tmp_path):
     records = json.loads(open(out).read())
     assert len(records) == 1
     assert records[0]["label"] == 0  # different articles
+
+
+def _write_region_page(tmp_path, name="r1", w=600, h=600):
+    """Page with paragraphs, typed/subtyped headings, a caption, and an
+    ImageRegion that overlaps one paragraph (for get_valid_text_regions)."""
+    body = """
+<TextRegion id="p_ok" type="paragraph">
+  <Coords points="40,300 200,300 200,400 40,400"/></TextRegion>
+<TextRegion id="p_overlap" type="paragraph">
+  <Coords points="250,300 500,300 500,400 250,400"/></TextRegion>
+<TextRegion id="p_inside" type="paragraph">
+  <Coords points="320,320 380,320 380,360 320,360"/></TextRegion>
+<TextRegion id="h_title" type="heading" custom="structure {type:title; subtype:headline;}">
+  <Coords points="40,40 560,40 560,90 40,90"/></TextRegion>
+<TextRegion id="h_classic" type="heading" custom="structure {type:heading; subtype:overline;}">
+  <Coords points="40,100 560,100 560,140 40,140"/></TextRegion>
+<TextRegion id="h_bare" type="heading" custom="structure {type:heading;}">
+  <Coords points="40,150 560,150 560,190 40,190"/></TextRegion>
+<TextRegion id="cap" type="caption">
+  <Coords points="40,480 300,480 300,520 40,520"/></TextRegion>
+<GraphicRegion id="img_1">
+  <Coords points="290,290 560,290 560,460 290,460"/></GraphicRegion>
+"""
+    (tmp_path / "page").mkdir(exist_ok=True)
+    page_path = tmp_path / "page" / f"{name}.xml"
+    page_path.write_text(PAGE_TPL.format(img=f"{name}.png", w=w, h=h, body=body))
+    Image.fromarray(np.full((h, w), 255, np.uint8)).save(tmp_path / f"{name}.png")
+    return str(tmp_path / f"{name}.png")
+
+
+def test_get_valid_text_regions_intersection_filter(tmp_path):
+    img_path = _write_region_page(tmp_path)
+    gen = RegionGroundTruthGenerator([img_path])
+    # p_inside is contained in the image bbox, p_overlap intersects it by
+    # 200x100 (> 20 px in both dims) -> both dropped; p_ok survives
+    valid = gen.get_valid_text_regions(intersection_thresh=20)
+    assert [r.id for r in valid[0]] == ["p_ok"]
+    # negative threshold disables the image check entirely
+    all_paras = gen.get_valid_text_regions(intersection_thresh=-1)
+    assert [r.id for r in all_paras[0]] == ["p_ok", "p_overlap", "p_inside"]
+    # a wide-open threshold only drops the fully contained region
+    loose = gen.get_valid_text_regions(intersection_thresh=150)
+    assert [r.id for r in loose[0]] == ["p_ok", "p_overlap"]
+
+
+def test_title_classic_heading_caption_getters(tmp_path):
+    img_path = _write_region_page(tmp_path)
+    gen = RegionGroundTruthGenerator([img_path])
+    titles = gen.get_title_regions_list(["headline"])
+    assert [r.id for r in titles[0]] == ["h_title"]
+    classic = gen.get_classic_heading_regions_list(["overline"])
+    assert [r.id for r in classic[0]] == ["h_classic"]
+    # subtype '' selects heading-typed regions WITHOUT a subtype entry
+    bare = gen.get_classic_heading_regions_list([""])
+    assert [r.id for r in bare[0]] == ["h_bare"]
+    captions = gen.get_caption_text_regions()
+    assert [r.id for r in captions[0]] == ["cap"]
+    images = gen.get_image_regions_list()
+    assert [r.id for r in images[0]] == ["img_1"]
+
+
+def test_region_gt_use_bounding_box_golden(tmp_path):
+    # L-shaped region: the filled-polygon mask must differ from its bbox mask
+    body = ('<TextRegion id="L" type="paragraph">'
+            '<Coords points="40,40 300,40 300,150 150,150 150,300 40,300"/>'
+            "</TextRegion>")
+    (tmp_path / "page").mkdir(exist_ok=True)
+    (tmp_path / "page" / "L.xml").write_text(
+        PAGE_TPL.format(img="L.png", w=400, h=400, body=body))
+    Image.fromarray(np.full((400, 400), 255, np.uint8)).save(tmp_path / "L.png")
+    img_path = str(tmp_path / "L.png")
+
+    gen = RegionGroundTruthGenerator([img_path], region_types=["TextRegion"])
+    gen.create_ground_truth_images()
+    poly_mask = gen.gt_imgs_lst[0][0]
+    assert poly_mask[100, 100] == 255 and poly_mask[250, 250] == 0
+
+    gen_bb = RegionGroundTruthGenerator([img_path], use_bounding_box=True,
+                                        region_types=["TextRegion"])
+    gen_bb.create_ground_truth_images()
+    bb_mask = gen_bb.gt_imgs_lst[0][0]
+    # bbox fills the L's notch
+    assert bb_mask[100, 100] == 255 and bb_mask[250, 250] == 255
+    assert bb_mask[250, 100] == 255 and bb_mask[350, 350] == 0
