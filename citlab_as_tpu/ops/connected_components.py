@@ -79,29 +79,43 @@ def _shift_right(arr: jnp.ndarray, k: int, fill) -> jnp.ndarray:
     return jnp.pad(arr, ((0, 0), (k, 0)), constant_values=fill)[:, :-k]
 
 
-def _run_min(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
-    """Min label within each horizontal run of foreground pixels.
+def _shift_ax(arr: jnp.ndarray, k: int, fill, axis: int) -> jnp.ndarray:
+    """Shift by k (either sign) along ``axis``, filling vacated cells."""
+    n = arr.shape[axis]
+    pad = [(0, 0)] * arr.ndim
+    sl = [slice(None)] * arr.ndim
+    if k >= 0:
+        pad[axis] = (k, 0)
+        sl[axis] = slice(0, n)
+    else:
+        pad[axis] = (0, -k)
+        sl[axis] = slice(-k, n - k)
+    return jnp.pad(arr, pad, constant_values=fill)[tuple(sl)]
+
+
+def _run_min(labels: jnp.ndarray, fg: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Min label within each run of foreground pixels along ``axis``.
 
     Run-clipped suffix/prefix-min by DOUBLING: level k keeps s_k[x] = min
     over [max(run_start(x), x-2^k+1) .. x] and r_k[x] = "window all fg";
     each level is two shifted selects — plain vector ops XLA fuses into a
     handful of streaming passes, beating both the associative-scan (8 ms)
-    and cummax (3.6 ms) formulations per sweep at 1536x1024."""
-    w = labels.shape[1]
+    and cummax (3.6 ms) formulations per sweep at 1536x1024. The column
+    direction shifts along axis -2 directly (no swapaxes copies)."""
+    w = labels.shape[axis]
     vals = jnp.where(fg, labels, _BG)
 
-    def directional(v0, r0, shift):
+    def directional(v0, r0, sgn):
         s, r = v0, r0
         k = 1
         while k < w:
-            s = jnp.where(r, jnp.minimum(s, shift(s, k, _BG)), s)
-            r = r & shift(r, k, False)
+            s = jnp.where(r, jnp.minimum(s, _shift_ax(s, sgn * k, _BG, axis)), s)
+            r = r & _shift_ax(r, sgn * k, False, axis)
             k <<= 1
         return s
 
-    fwd = directional(vals, fg, _shift_right)
-    bwd = directional(
-        vals[:, ::-1], fg[:, ::-1], _shift_right)[:, ::-1]
+    fwd = directional(vals, fg, 1)
+    bwd = directional(vals, fg, -1)
     run_min = jnp.minimum(fwd, bwd)
     return jnp.where(fg, jnp.minimum(labels, run_min), labels)
 
@@ -130,8 +144,8 @@ def connected_components(binary: jnp.ndarray, max_iters: int = 256) -> jnp.ndarr
 
     def body(carry):
         labels, _, it = carry
-        new = _run_min(labels, fg)
-        new = _run_min(new.T, fg.T).T
+        new = _run_min(labels, fg, axis=-1)
+        new = _run_min(new, fg, axis=-2)
         new = _neighbor_min(new, fg)
         changed = jnp.any(new != labels)
         return new, changed, it + 1
@@ -163,8 +177,11 @@ def remove_small_components(binary: jnp.ndarray, min_size: jnp.ndarray) -> jnp.n
     label IS the root's flat index), so the size value can seed there and
     flow to the rest of the component through the same run/window max
     propagation the labeling uses — a per-pixel ``sizes[labels]`` gather
-    here measured ~20 ms at 1536x1024 on v5e, the propagation ~5 ms."""
-    from citlab_as_tpu.ops.swt_device import _propagate_step
+    here measured ~20 ms at 1536x1024 on v5e, the propagation ~5 ms. The
+    size field is propagated as uint16 clamped to 32767 (only the
+    ``>= min_size`` comparison matters and min_size is 100 in practice;
+    min_size is clamped to the same bound) — half the fixpoint's traffic."""
+    from citlab_as_tpu.ops.swt_device import _propagate_step_stack
 
     labels = connected_components(binary)
     sizes = _component_sizes(labels)
@@ -173,17 +190,20 @@ def remove_small_components(binary: jnp.ndarray, min_size: jnp.ndarray) -> jnp.n
     idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
            + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
     isroot = fg & (labels == idx)
-    size_field = jnp.where(isroot, sizes.reshape(h, w).astype(jnp.int32), -1)
+    min_size16 = jnp.minimum(jnp.asarray(min_size, jnp.int32), 32767)
+    size_field = jnp.where(
+        isroot, jnp.minimum(sizes.reshape(h, w), 32767), 0
+    ).astype(jnp.uint16)[None]
 
     def body(carry):
         v, _, it = carry
-        nv = _propagate_step(v, fg, maximize=True)
+        nv = _propagate_step_stack(v, fg)
         return nv, jnp.any(nv != v), it + 1
 
     size_field, _, _ = jax.lax.while_loop(
         lambda c: c[1] & (c[2] < 256), body,
         (size_field, jnp.bool_(True), 0))
-    keep = fg & (size_field >= min_size)
+    keep = fg & (size_field[0].astype(jnp.int32) >= min_size16)
     return jnp.where(keep, 255, 0).astype(jnp.uint8)
 
 

@@ -114,12 +114,26 @@ def main():
         dt_u8, prob_u8, sbj, nbj, crop_h=64, crop_w=512, mxu=False), out)
     timed("per_line_features(gather2)", lambda: line_features_batch(
         dt_u8, prob_u8, sbj, nbj, crop_h=64, crop_w=512, mxu=True), out)
+    # production bucket after the 16-granular rounding (45-px lines -> 48)
+    timed("per_line_features(gather,48)", lambda: line_features_batch(
+        dt_u8, prob_u8, sbj, nbj, crop_h=48, crop_w=512, mxu=False), out)
+    timed("per_line_features(gather2,48)", lambda: line_features_batch(
+        dt_u8, prob_u8, sbj, nbj, crop_h=48, crop_w=512, mxu=True), out)
 
     # upload/readback costs over the tunnel
     t0 = time.perf_counter()
     up = jnp.asarray(img)
     barrier(up)
     out["upload_11MB"] = round((time.perf_counter() - t0) * 1000, 1)
+    t0 = time.perf_counter()
+    up2 = jax.device_put(img)
+    barrier(up2)
+    out["upload_11MB_device_put"] = round((time.perf_counter() - t0) * 1000, 1)
+    one = img[:1]
+    t0 = time.perf_counter()
+    up3 = jax.device_put(one)
+    barrier(up3)
+    out["upload_1.5MB_device_put"] = round((time.perf_counter() - t0) * 1000, 1)
     masks = sep_fused(sep.variables, batch, out_h=1500, out_w=1000,
                       h_kernel=15, v_kernel=30, noise_kernel=10,
                       threshold=0.05)
