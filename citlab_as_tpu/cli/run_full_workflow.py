@@ -11,12 +11,28 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import time
 from typing import Optional, Sequence
 
 from citlab_as_tpu.utils.io import get_page_path, load_list_file
 
 logger = logging.getLogger(__name__)
+
+
+def _align_feature_jsons(json_paths, page_paths, image_paths):
+    """generate_feature_jsons SKIPS pages without enough text regions, so
+    its return list is not 1:1 with ``page_paths``. JSONs are named after
+    the page file — match them back by basename and return aligned
+    (json, page, image) triples for the pages that survived."""
+    by_name = {os.path.splitext(os.path.basename(j))[0]: j
+               for j in json_paths}
+    out = []
+    for pp, ip in zip(page_paths, image_paths):
+        key = os.path.splitext(os.path.basename(pp))[0]
+        if key in by_name:
+            out.append((by_name[key], pp, ip))
+    return out
 
 
 def run_full_workflow(image_paths: Sequence[str],
@@ -133,15 +149,19 @@ def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
             image_paths=list(image_paths),
             line_features=heading_line_features))
 
+        triples = _align_feature_jsons(json_paths, page_paths,
+                                       list(image_paths))
+
         def run_gnn():
             # ONE relation-net forward per page group (union-graph batching)
             # instead of a dispatch+readback round trip per page
-            for start in range(0, len(json_paths), batch_size):
+            for start in range(0, len(triples), batch_size):
+                chunk = triples[start:start + batch_size]
                 clustered.extend(gnn_clustering_for_pages(
-                    json_paths[start:start + batch_size], gnn_predictor,
+                    [t[0] for t in chunk], gnn_predictor,
                     clustering_method=clustering_method, out_dir=out_dir,
-                    page_paths=page_paths[start:start + batch_size],
-                    image_paths=list(image_paths)[start:start + batch_size]))
+                    page_paths=[t[1] for t in chunk],
+                    image_paths=[t[2] for t in chunk]))
         timed("gnn_clustering", run_gnn)
 
     return {"pages": page_paths, "clustered": clustered, "timings": timings}
@@ -302,17 +322,21 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                 page_paths, visual_regions=visual, separators="bb",
                 image_paths=list(pchunk),
                 line_features=head_proc.line_features_by_page))
+            # skipped pages (too few regions) drop out here — keep the
+            # json/page/image triples aligned for the clustering wave
+            triples = _align_feature_jsons(json_paths, page_paths,
+                                           list(pchunk))
             _, materialize = part("gnn_dispatch", lambda: gnn_confidences_dispatch(
-                json_paths, gnn_predictor, image_paths=list(pchunk)))
-            new_gnn = (materialize, json_paths, page_paths, pchunk)
+                [t[0] for t in triples], gnn_predictor,
+                image_paths=[t[2] for t in triples]))
+            new_gnn = (materialize, triples)
 
         if pend_gnn is not None:
-            materialize, json_paths, page_paths, pchunk = pend_gnn
+            materialize, triples = pend_gnn
 
             def run_gnn():
                 confs = materialize()
-                for i, (json_path, pp, ip) in enumerate(
-                        zip(json_paths, page_paths, pchunk)):
+                for i, (json_path, pp, ip) in enumerate(triples):
                     clustered_by_path[ip] = gnn_clustering_for_page(
                         json_path, gnn_predictor,
                         clustering_method=clustering_method,

@@ -521,15 +521,24 @@ def line_features_batch(dt_u8: jnp.ndarray, prob_u8: jnp.ndarray,
                         swt_boxes: jnp.ndarray, net_boxes: jnp.ndarray,
                         crop_h: int, crop_w: int, mxu: bool = False,
                         clean_ccs: int = 2, chunk: int = _STATS_CHUNK):
-    """ONE program for a group's full per-line feature set: (SWT stats
-    [B, L, 2], exact net-prob sums [B, L]). A single executable means one
-    dispatch and one completion barrier per page group instead of two of
-    each (every host<->device roundtrip costs a tunnel round)."""
+    """ONE program, ONE output for a group's full per-line feature set:
+    int32 [B, L, 3] of (exact net-prob sum, 2*stroke_width, text_height).
+    A single executable with a single packed result means one dispatch and
+    ONE readback per page group (each host<->device roundtrip costs a ~32 ms
+    tunnel round on the axon relay). 2*stroke = the two middle order
+    statistics' sum — an exact integer (the host divides by 2)."""
     stats_fn = swt_line_stats_batch_gather2 if mxu else swt_line_stats_batch_gather
     sw_th = stats_fn(dt_u8, swt_boxes, crop_h=crop_h, crop_w=crop_w,
                      clean_ccs=clean_ccs, chunk=chunk)
     sums = net_prob_sums_batch_sat(prob_u8, net_boxes)
-    return sw_th, sums
+    # sw_th[..., 0] = (v1+v2)/2 with integer v1, v2 <= 255 — exact in f32,
+    # so the *2 round trip is lossless
+    packed = jnp.stack([
+        sums.astype(jnp.int32),
+        (sw_th[..., 0] * 2.0).astype(jnp.int32),
+        sw_th[..., 1].astype(jnp.int32),
+    ], axis=-1)
+    return packed
 
 
 @jax.jit
@@ -739,12 +748,14 @@ class DeviceLineFeatures:
             dt_s = dt_dev if b == dt_dev.shape[0] else dt_dev[:b]
             prob_s = prob_dev if b == prob_dev.shape[0] else prob_dev[:b]
             ph, pw = int(prob_dev.shape[1]), int(prob_dev.shape[2])
+            packed_dev = None
             if 255 * ph * pw < 2 ** 31:
-                # one program -> one dispatch, one completion barrier
-                sw_th_dev, sums_dev = line_features_batch(
+                # one program -> one dispatch, ONE packed readback
+                packed_dev = line_features_batch(
                     dt_s, prob_s, sb_dev, nb_dev,
                     crop_h=self._swt_crop[0], crop_w=self._swt_crop[1],
                     mxu=(mode == "gather2"))
+                sw_th_dev = sums_dev = None
             else:   # SAT would overflow int32 on huge pages
                 stats_fn = (swt_line_stats_batch_gather2 if mode == "gather2"
                             else swt_line_stats_batch_gather)
@@ -779,26 +790,31 @@ class DeviceLineFeatures:
                                            crop_h=self._net_crop[0],
                                            crop_w=self._net_crop[1])
             _barrier(sums_dev)
+            packed_dev = None
         # pin the chain's buffers: their refs dropping mid-queue later
         # (next group executing) is the suspected relay poison
         _hold(dt_dev, prob_dev, sb_dev, nb_dev, dt_s, prob_s,
-              sw_th_dev, sums_dev)
-
-        # one barrier suffices when both outputs come from one executable
-        single_program = mode in ("gather", "gather2") and (
-            255 * int(prob_dev.shape[1]) * int(prob_dev.shape[2]) < 2 ** 31)
+              sw_th_dev if packed_dev is None else packed_dev, sums_dev)
 
         def materialize():
             # gather mode: force the chain to completion on a quiet queue
-            # with 4-byte scalar reads BEFORE the bulk readbacks (the
-            # round-2-validated readback-race workaround); in map mode
-            # every step above is already barriered so these are no-ops
-            # beyond one roundtrip each
-            _barrier(sw_th_dev)
-            if not single_program:
+            # with a 4-byte scalar read BEFORE the bulk readback (the
+            # round-2-validated readback-race workaround, skippable via
+            # CITLAB_SWT_BARRIER=0 once the soak clears it); in map mode
+            # every step above is already barriered
+            if packed_dev is not None:
+                if _os.environ.get("CITLAB_SWT_BARRIER", "1") != "0":
+                    _barrier(packed_dev)
+                packed = np.asarray(packed_dev)      # ONE bulk readback
+                sums = packed[..., 0].astype(np.float64)
+                sw_th_all = np.stack(
+                    [packed[..., 1].astype(np.float32) / 2.0,
+                     packed[..., 2].astype(np.float32)], axis=-1)
+            else:
+                _barrier(sw_th_dev)
                 _barrier(sums_dev)
-            sums = np.asarray(sums_dev, np.float64)
-            sw_th_all = np.array(sw_th_dev)
+                sums = np.asarray(sums_dev, np.float64)
+                sw_th_all = np.array(sw_th_dev)
             out = []
             for i, n in enumerate(counts):
                 denom = nb[i, :n, 2].astype(np.float64) * nb[i, :n, 3] * 255.0

@@ -196,6 +196,8 @@ def gnn_confidences_dispatch(json_paths: Sequence[str], predictor,
     [n, n] confidence matrices. Pipeline drivers call this early so the
     small GNN program is not queued behind the next group's fused programs.
     """
+    if not json_paths:        # whole group skipped by feature generation
+        return [], (lambda: [])
     graphs = []
     for json_path in json_paths:
         with open(json_path) as f:

@@ -120,6 +120,30 @@ def main():
     timed("per_line_features(gather2,48)", lambda: line_features_batch(
         dt_u8, prob_u8, sbj, nbj, crop_h=48, crop_w=512, mxu=True), out)
 
+    # separator post-processing alone (threshold -> CC filter -> morphology
+    # -> pack) on a device-resident synthetic probability map
+    from citlab_as_tpu.ops.connected_components import remove_small_components
+    from citlab_as_tpu.stages.separator import (
+        _separator_morphology_device, pack_bits_device)
+    prob_map = jnp.asarray(
+        (rng.rand(B, 1500, 1000) < 0.03).astype(np.float32) * 255.0)
+    barrier(prob_map)
+
+    @jax.jit
+    def sep_post(binary):
+        cleaned = jax.vmap(
+            lambda b: remove_small_components(b, jnp.int32(100)))(binary)
+        h, v = _separator_morphology_device(
+            cleaned.astype(jnp.float32), 15, 30, 10)
+        return jnp.stack([pack_bits_device(h > 0), pack_bits_device(v > 0)])
+    timed("sep_post(CC+morph+pack)", lambda: sep_post(prob_map), out)
+
+    @jax.jit
+    def sep_cc(binary):
+        return jax.vmap(
+            lambda b: remove_small_components(b, jnp.int32(100)))(binary)
+    timed("sep_CC_only", lambda: sep_cc(prob_map), out)
+
     # upload/readback costs over the tunnel
     t0 = time.perf_counter()
     up = jnp.asarray(img)
