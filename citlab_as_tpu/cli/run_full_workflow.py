@@ -262,7 +262,7 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
     # pipeline slots: group state advances big -> head -> gnn -> done
     pend_big = None    # (sep_entry, head_entry, chunk)
     pend_head = None   # (head_state, chunk)
-    pend_gnn = None    # (materialize, json_paths, page_paths, chunk)
+    pend_gnn = None    # (materialize, [(json, page, image)] triples)
 
     def advance(images, chunk):
         nonlocal pend_big, pend_head, pend_gnn
