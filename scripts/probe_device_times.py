@@ -119,6 +119,13 @@ def main():
         dt_u8, prob_u8, sbj, nbj, crop_h=48, crop_w=512, mxu=False), out)
     timed("per_line_features(gather2,48)", lambda: line_features_batch(
         dt_u8, prob_u8, sbj, nbj, crop_h=48, crop_w=512, mxu=True), out)
+    # chunk-size A/B: fewer serial chunks = fewer while_loop syncs
+    timed("per_line_features(gather2,48,c128)", lambda: line_features_batch(
+        dt_u8, prob_u8, sbj, nbj, crop_h=48, crop_w=512, mxu=True,
+        chunk=128), out)
+    timed("per_line_features(gather2,48,c512)", lambda: line_features_batch(
+        dt_u8, prob_u8, sbj, nbj, crop_h=48, crop_w=512, mxu=True,
+        chunk=512), out)
 
     # separator post-processing alone (threshold -> CC filter -> morphology
     # -> pack) on a device-resident synthetic probability map
