@@ -185,17 +185,20 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                                 ) -> dict:
     """Wave-pipelined production driver (accelerator backends).
 
-    Three-stage software pipeline over same-shape page groups. Small device
-    programs dispatched during a wave land BEHIND the next group's big fused
-    programs in the in-order device queue — so their drains run one wave
-    LATER, after the barrier that waits out those big programs anyway:
+    Four-stage software pipeline over same-shape page groups; TWO big
+    fused groups stay in flight so the wave's single device barrier waits
+    on programs dispatched two host-waves earlier (the relay wire's
+    latency/bandwidth is volatile — double slack keeps the host from
+    blocking on it). Small device programs dispatched during a wave land
+    BEHIND the next group's big fused programs in the in-order device
+    queue — their drains run one wave LATER:
 
-      wave i:  sep-materialize(i-1)            <- the only real barrier
+      wave i:  sep-materialize(i-2)            <- the only real barrier
                dispatch big fused programs(i)  <- overlaps everything below
-               sep host work(i-1) + per-page heading line-feature dispatch
-               heading finish(i-2), baselines/regions/features(i-2),
-                 batched-GNN dispatch(i-2)
-               GNN materialize(i-3) + clustering(i-3)
+               sep host work(i-2) + per-page heading line-feature dispatch
+               heading finish(i-3), baselines/regions/features(i-3),
+                 batched-GNN dispatch(i-3)
+               GNN materialize(i-4) + clustering(i-4)
 
     Steady-state throughput approaches max(host tail, device) instead of
     their sum. File contracts and results are identical to
@@ -259,21 +262,31 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
 
     from citlab_as_tpu.pagexml.page import page_cache
 
-    # pipeline slots: group state advances big -> head -> gnn -> done
-    pend_big = None    # (sep_entry, head_entry, chunk)
+    from collections import deque
+
+    # pipeline slots: group state advances big -> big (2 waves in flight)
+    # -> head -> gnn -> done. TWO big groups stay in flight so the wave's
+    # one device barrier (the separator mask download) waits on programs
+    # dispatched TWO waves (~2x host wave work) earlier — the device and
+    # the volatile relay wire get double the slack before the host ever
+    # blocks on them (round-4: the 3-deep pipeline spent ~46 ms/page
+    # waiting in separator_materialize)
+    pend_bigs: deque = deque()   # <= 2 of (sep_entry, head_entry, chunk)
     pend_head = None   # (head_state, chunk)
     pend_gnn = None    # (materialize, [(json, page, image)] triples)
 
     def advance(images, chunk):
-        nonlocal pend_big, pend_head, pend_gnn
+        nonlocal pend_head, pend_gnn
         new_head = new_gnn = None
 
-        if pend_big is not None:
-            sep_entry, head_entry, pchunk = pend_big
+        mat = None
+        if len(pend_bigs) >= 2 or (images is None and pend_bigs):
+            sep_entry, head_entry, pchunk = pend_bigs.popleft()
             # the pipeline's ONE barrier: download the separator group's
             # bit-packed masks (host work comes after the next dispatch)
             sep_np = part("separator_materialize",
                           lambda: sep_proc.fused_materialize(sep_entry))
+            mat = (sep_np, head_entry, pchunk)
 
         if images is not None:
             def dispatch_big():
@@ -286,15 +299,14 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                 head_entry = head_proc.fused_dispatch(
                     list(images), chunk, max_batch, device_batch=device_batch)
                 return (sep_entry, head_entry, chunk)
-            pend_big_next = part("dispatch", dispatch_big)
-        else:
-            pend_big_next = None
+            pend_bigs.append(part("dispatch", dispatch_big))
 
-        if pend_big is not None:
+        if mat is not None:
             # host tail of the freshly materialized group overlaps the big
             # programs just dispatched; the per-line heading programs and
             # the group GNN land behind them in the queue, which is fine —
             # their drains happen a wave later, after the next barrier
+            sep_np, head_entry, pchunk = mat
             part("separator_drain",
                  lambda: sep_proc.fused_drain(sep_np, {}))
             head_state = part("heading_dispatch",
@@ -344,7 +356,7 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                         confidences=confs[i])
             part("gnn_clustering", run_gnn)
 
-        pend_big, pend_head, pend_gnn = pend_big_next, new_head, new_gnn
+        pend_head, pend_gnn = new_head, new_gnn
 
     groups = SeparatorNetPostProcessor.group_by_shape(
         list(image_paths), max_batch)
@@ -355,7 +367,7 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
     with page_cache():
         for images, chunk in groups:
             advance(images, chunk)
-        for _ in range(3):   # flush the three pipeline stages
+        for _ in range(4):   # flush the four pipeline stages
             advance(None, None)
 
     # pipeline fully drained -> quiet queue: drop the relay-poison pins
