@@ -39,15 +39,16 @@ def gaussian_blur(image: jnp.ndarray, ksize: int = 5) -> jnp.ndarray:
     """Separable Gaussian blur with replicate border (cv2 default
     BORDER_REFLECT_101 differs only on the outermost pixels; we use edge
     replication which matches within the filter radius for page images)."""
-    k = jnp.asarray(_gaussian_kernel_1d(ksize))
+    k = _gaussian_kernel_1d(ksize)
     img = image.astype(jnp.float32)
     pad = ksize // 2
-    # rows
+    # separable blur as shifted multiply-adds (the vmapped jnp.convolve
+    # formulation lowered to slow per-column code on TPU); the symmetric
+    # kernel makes the tap order identical to np.convolve's
     x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
-    x = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"), in_axes=1, out_axes=1)(x)
-    # cols
+    x = sum(float(k[i]) * x[i:i + img.shape[0], :] for i in range(ksize))
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
-    x = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"), in_axes=0, out_axes=0)(x)
+    x = sum(float(k[i]) * x[:, i:i + img.shape[1]] for i in range(ksize))
     return x
 
 
@@ -56,7 +57,11 @@ def otsu_threshold(image: jnp.ndarray):
     """Otsu threshold of a uint8-range image. Returns (threshold, binary*255)
     with cv2's convention: foreground = pixel > threshold."""
     img = jnp.clip(jnp.round(image.astype(jnp.float32)), 0, 255).astype(jnp.int32)
-    hist = jnp.zeros((256,), jnp.float32).at[img.ravel()].add(1.0)
+    # compare-reduce histogram: one streaming pass with 256 accumulators
+    # (a scatter-add .at[].add histogram serializes on TPU)
+    bins256 = jnp.arange(256, dtype=jnp.int32)
+    hist = jnp.sum((img.reshape(-1, 1) == bins256[None, :]).astype(jnp.float32),
+                   axis=0)
     total = hist.sum()
     bins = jnp.arange(256, dtype=jnp.float32)
 
