@@ -4,7 +4,7 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Primary metric (the driver-set north star is >= 50 pages/s end-to-end on a
 v5e-8, i.e. 6.25 pages/s/chip): full-workflow pages/s on ONE chip over
-realistic 1500x1000 synthetic newspaper pages — separator ARU-Net (fused
+realistic 1536x1024 synthetic newspaper pages — separator ARU-Net (fused
 device pipeline), heading net + SWT fusion, DBSCAN baseline clustering,
 text regions, GNN features, relation GNN + clustering, PAGE-XML IO.
 vs_baseline = value / 6.25.
@@ -38,7 +38,8 @@ _enable_compile_cache()
 
 H, W = 1536, 1024
 BATCH = 7        # measured v5e sweet spot; XLA's conv schedule regresses B>=8
-PAGES = 14       # two full batches (compile warm-up uses the first group)
+PAGES = 42       # six full batches: the 4-deep wave pipeline needs ~2 groups
+                 # of fill before steady state (compile warm-up is separate)
 NORTH_STAR_PER_CHIP = 50.0 / 8.0
 
 
@@ -187,7 +188,7 @@ def bench_gnn(batch_graphs_n: int = 4, nodes: int = 128, iters: int = 10):
 def _emit(e2e_pages_s, stages, fwd_pages_s, mpix_s, edge_preds_s,
           methodology: str, n_pages: int):
     print(json.dumps({
-        "metric": f"end-to-end workflow pages/s ({n_pages} fresh 1500x1000 "
+        "metric": f"end-to-end workflow pages/s ({n_pages} fresh 1536x1024 "
                   f"pages, all 5 stages, 1 chip)",
         "value": round(e2e_pages_s, 3),
         "unit": "pages/s",

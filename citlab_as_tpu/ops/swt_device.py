@@ -803,7 +803,11 @@ class DeviceLineFeatures:
             # CITLAB_SWT_BARRIER=0 once the soak clears it); in map mode
             # every step above is already barriered
             if packed_dev is not None:
-                if _os.environ.get("CITLAB_SWT_BARRIER", "1") != "0":
+                # default OFF since the round-4 soak: 3x56-page pipelined
+                # invocations in one process, gather2, no pins, direct bulk
+                # readback — no INVALID_ARGUMENT (ROUND4_NOTES). =1 restores
+                # the round-2 scalar pre-read workaround.
+                if _os.environ.get("CITLAB_SWT_BARRIER", "0") == "1":
                     _barrier(packed_dev)
                 packed = np.asarray(packed_dev)      # ONE bulk readback
                 sums = packed[..., 0].astype(np.float64)
