@@ -37,16 +37,14 @@ class SeparatedPage(Page):
         self._re_init()
 
     def _re_init(self):
-        self.blNiDict: Dict[str, Optional[str]] = {}
+        self.blNiDict: Dict[str, Optional[str]] = {
+            bl.id: bl.get_article_id()
+            for bl in self.get_textlines() if bl.id not in self._bl_ignore}
         self.niBlDict: Dict[Optional[str], List[str]] = {
             ni: [] for ni in self.get_article_dict().keys()}
-        for bl in self.get_textlines():
-            if bl.id not in self._bl_ignore:
-                ni_id = bl.get_article_id()
-                self.blNiDict[bl.id] = ni_id
-                self.niBlDict[ni_id].append(bl.id)
-        for ni, bls in self.niBlDict.items():
-            self.niBlDict[ni] = sorted(bls)
+        # iterate in baseline-id order so each article's list is born sorted
+        for bl_id in sorted(self.blNiDict):
+            self.niBlDict[self.blNiDict[bl_id]].append(bl_id)
         self._can_bl_part = None
 
     def removeBlSet(self, bl_set: set) -> None:
@@ -107,48 +105,60 @@ class SepPageComper:
 
 
 class SepPageBlComper(SepPageComper):
-    """Baseline-partition comparison (asCompTools.py:103-147)."""
+    """Baseline-partition comparison (semantics of asCompTools.py:103-147).
+
+    The intersection refinement of the GT and HYP partitions is the set of
+    nonempty pairwise block intersections — equivalently, the baselines
+    grouped by their (GT article, HYP article) label pair. It is computed
+    here as that single-pass grouping rather than by materializing block
+    intersections, which changes nothing about the counts:
+
+        splits = |refinement| - |GT articles|
+        merges = |HYP articles| - |refinement|
+        dist   = splits - merges
+    """
 
     def _compare(self) -> SepPageComparison:
         hyp_page = self._hyp_page
-        hyp_bl_set = {tl.id for tl in hyp_page.get_textlines()}
-        gt_page = self._gt_page
-        gt_bl_set = {tl.id for tl in gt_page.get_textlines()}
-        if gt_bl_set != hyp_bl_set:
-            if gt_bl_set.issubset(hyp_bl_set):
-                raise AssertionError("cannot compare: inconsistent baselines")
-            diff = gt_bl_set.difference(hyp_bl_set)
-            gt_bl_set = gt_bl_set.difference(diff)
-            alt_label = "".join(diff)
-            gt_page = self._alt_gt_dict.get(alt_label)
-            if gt_page is None:
-                gt_page = SeparatedPage(self._gt_page.xmlFilePath)
-                gt_page.removeBlSet(diff)
-                self._alt_gt_dict[alt_label] = gt_page
+        gt_page = self._aligned_gt({tl.id for tl in hyp_page.get_textlines()})
+
+        label_pairs = {
+            (gt_ni, hyp_page.blNiDict[bl_id])
+            for bl_id, gt_ni in gt_page.blNiDict.items()}
 
         comparison = SepPageComparison()
         comparison.gtNIs = len(gt_page.niBlDict)
         comparison.hypNIs = len(hyp_page.niBlDict)
-        comparison.corrects = len([
-            block for block in gt_page.canonicalBlPartition()
-            if block in hyp_page.canonicalBlPartition()])
-
-        # intersection refinement of the two partitions
-        refinement = []
-        seen: set = set()
-        for bl_id in gt_bl_set:
-            if bl_id in seen:
-                continue
-            gt_set = set(gt_page.niBlDict[gt_page.blNiDict[bl_id]])
-            hyp_set = set(hyp_page.niBlDict[hyp_page.blNiDict[bl_id]])
-            inf_set = gt_set.intersection(hyp_set)
-            refinement.append(list(inf_set))
-            seen.update(inf_set)
-
-        comparison.splits = len(refinement) - comparison.gtNIs
-        comparison.merges = comparison.hypNIs - len(refinement)
+        hyp_blocks = {
+            frozenset(block) for block in hyp_page.canonicalBlPartition()}
+        comparison.corrects = sum(
+            frozenset(block) in hyp_blocks
+            for block in gt_page.canonicalBlPartition())
+        comparison.splits = len(label_pairs) - comparison.gtNIs
+        comparison.merges = comparison.hypNIs - len(label_pairs)
         comparison.dist = comparison.splits - comparison.merges
         return comparison
+
+    def _aligned_gt(self, hyp_bl_ids: set) -> SeparatedPage:
+        """GT page restricted to the HYP baselines, memoized per extra-set.
+
+        HYP baselines missing from GT are an error; GT baselines missing
+        from HYP are dropped from a cached copy of the GT page.
+        """
+        gt_page = self._gt_page
+        gt_bl_ids = set(gt_page.blNiDict)
+        if gt_bl_ids == hyp_bl_ids:
+            return gt_page
+        extra = frozenset(gt_bl_ids - hyp_bl_ids)
+        if not extra:
+            # every GT baseline is in HYP, yet HYP has baselines GT lacks
+            raise AssertionError("cannot compare: inconsistent baselines")
+        aligned = self._alt_gt_dict.get(extra)
+        if aligned is None:
+            aligned = SeparatedPage(gt_page.xmlFilePath)
+            aligned.removeBlSet(set(extra))
+            self._alt_gt_dict[extra] = aligned
+        return aligned
 
 
 class SepPageCompDict(dict):
