@@ -37,9 +37,11 @@ class Polygon:
     # -- constructors ------------------------------------------------------
     @classmethod
     def from_arrays(cls, xs: np.ndarray, ys: np.ndarray) -> "Polygon":
+        # astype(int64) truncates toward zero like int(); .tolist() yields
+        # Python ints ~10x faster than per-element int() casts
         p = cls.__new__(cls)
-        p.x_points = [int(v) for v in np.asarray(xs)]
-        p.y_points = [int(v) for v in np.asarray(ys)]
+        p.x_points = np.asarray(xs).astype(np.int64, copy=False).tolist()
+        p.y_points = np.asarray(ys).astype(np.int64, copy=False).tolist()
         p.bounds = None
         return p
 

@@ -414,6 +414,280 @@ void gk_calc_metric(const double* t_coords, const int32_t* t_offsets, int32_t n_
     }
 }
 
+// 2-D Delaunay triangulation (sweep-circle, O(n log n)) — replaces scipy's
+// qhull call in geometry/util.py:alpha_shape, where the per-call qhull
+// overhead (~4 ms for the textregion stage's ~900-point article clouds,
+// textregion_generation.py:131-193) dominated the host tail. Triangle SET
+// equals any valid Delaunay triangulation (ties broken arbitrarily under
+// cocircularity, same as qhull); callers that only consume the unpaired-
+// edge boundary are insensitive to triangle order.
+//
+// Conventions: triangles CCW; hull is a CCW circular list with the
+// interior on the left of (v -> next[v]); hull_tri[v] is the halfedge id
+// of the directed boundary edge v -> next[v]; halfedge k of triangle t
+// is edge (tri[3t+k] -> tri[3t+(k+1)%3]) and halfedges[] pairs reversed
+// directed edges (-1 on the boundary).
+
+}  // extern "C"
+
+namespace {
+
+struct Delaunator {
+    const double* pts;  // interleaved x,y
+    int32_t n;
+    std::vector<int32_t> tri;        // 3 vertex ids per triangle
+    std::vector<int32_t> half;       // paired halfedge or -1
+    std::vector<int32_t> hull_prev, hull_next, hull_tri, hash;
+    std::vector<int32_t> stack;
+    int32_t hash_size = 0;
+    double cx = 0, cy = 0;  // seed circumcenter (sweep origin)
+
+    double x(int32_t i) const { return pts[2 * i]; }
+    double y(int32_t i) const { return pts[2 * i + 1]; }
+
+    // > 0 iff (a,b,c) is a counter-clockwise turn
+    double orient(int32_t a, int32_t b, int32_t c) const {
+        return (x(b) - x(a)) * (y(c) - y(a)) - (y(b) - y(a)) * (x(c) - x(a));
+    }
+
+    // p strictly inside the circumcircle of CCW triangle (a,b,c)
+    bool in_circle(int32_t a, int32_t b, int32_t c, int32_t p) const {
+        double dx = x(a) - x(p), dy = y(a) - y(p);
+        double ex = x(b) - x(p), ey = y(b) - y(p);
+        double fx = x(c) - x(p), fy = y(c) - y(p);
+        double ap = dx * dx + dy * dy;
+        double bp = ex * ex + ey * ey;
+        double cp = fx * fx + fy * fy;
+        return dx * (ey * cp - bp * fy) - dy * (ex * cp - bp * fx)
+             + ap * (ex * fy - ey * fx) > 0.0;
+    }
+
+    // squared circumradius of (a, b, c); HUGE_VAL when collinear
+    double circum_r2(int32_t a, int32_t b, int32_t c) const {
+        double dx = x(b) - x(a), dy = y(b) - y(a);
+        double ex = x(c) - x(a), ey = y(c) - y(a);
+        double bl = dx * dx + dy * dy, cl = ex * ex + ey * ey;
+        double det = dx * ey - dy * ex;
+        if (det == 0.0) return std::numeric_limits<double>::infinity();
+        double d = 0.5 / det;
+        double ux = (ey * bl - dy * cl) * d, uy = (dx * cl - ex * bl) * d;
+        return ux * ux + uy * uy;
+    }
+
+    // monotone pseudo-angle of (dx, dy) in [0, 1)
+    static double pseudo_angle(double dx, double dy) {
+        double p = dx / (std::fabs(dx) + std::fabs(dy));
+        return (dy > 0 ? 3.0 - p : 1.0 + p) / 4.0;
+    }
+
+    int32_t hash_key(double px, double py) const {
+        int64_t k = (int64_t)std::floor(pseudo_angle(px - cx, py - cy)
+                                        * (double)hash_size);
+        return (int32_t)(((k % hash_size) + hash_size) % hash_size);
+    }
+
+    void link(int32_t a, int32_t b) {
+        half[a] = b;
+        if (b != -1) half[b] = a;
+    }
+
+    // append CCW triangle (i0, i1, i2); edges pair with (a, b, c)
+    int32_t add_triangle(int32_t i0, int32_t i1, int32_t i2,
+                         int32_t a, int32_t b, int32_t c) {
+        int32_t t = (int32_t)tri.size();
+        tri.push_back(i0); tri.push_back(i1); tri.push_back(i2);
+        half.push_back(-1); half.push_back(-1); half.push_back(-1);
+        link(t, a); link(t + 1, b); link(t + 2, c);
+        return t;
+    }
+
+    // restore the Delaunay condition around halfedge a by edge flips;
+    // returns the halfedge that ends up holding the new boundary edge
+    // adjacent to the freshly inserted point (see insertion sites)
+    int32_t legalize(int32_t a) {
+        stack.clear();
+        int32_t ar = 0;
+        while (true) {
+            int32_t b = half[a];
+            int32_t a0 = a - a % 3;
+            ar = a0 + (a + 2) % 3;
+            if (b == -1) {
+                if (stack.empty()) break;
+                a = stack.back(); stack.pop_back();
+                continue;
+            }
+            int32_t b0 = b - b % 3;
+            int32_t al = a0 + (a + 1) % 3;
+            int32_t bl = b0 + (b + 2) % 3;
+            int32_t p0 = tri[ar];   // third vertex of this triangle
+            int32_t pr = tri[a];    // flipped edge: pr -> pl
+            int32_t pl = tri[al];
+            int32_t p1 = tri[bl];   // third vertex of the adjacent triangle
+            if (in_circle(p0, pr, pl, p1)) {
+                tri[a] = p1;
+                tri[b] = p0;
+                int32_t hbl = half[bl];
+                int32_t har = half[ar];
+                // a relocated boundary edge must keep hull_tri[] valid:
+                // p1->pl moves from slot bl to a; p0->pr from ar to b
+                if (hbl == -1 && hull_tri[p1] == bl) hull_tri[p1] = a;
+                if (har == -1 && hull_tri[p0] == ar) hull_tri[p0] = b;
+                link(a, hbl);
+                link(b, har);
+                link(ar, bl);
+                stack.push_back(b0 + (b + 1) % 3);  // re-check pr -> p1
+            } else {
+                if (stack.empty()) break;
+                a = stack.back(); stack.pop_back();
+            }
+        }
+        return ar;
+    }
+
+    // returns triangle count, or -1 when no triangulation exists
+    int32_t run() {
+        if (n < 3) return -1;
+        // seed: point nearest the bbox centre, its nearest neighbour, and
+        // the third point minimizing the circumradius
+        double minx = x(0), maxx = x(0), miny = y(0), maxy = y(0);
+        for (int32_t i = 1; i < n; ++i) {
+            minx = std::min(minx, x(i)); maxx = std::max(maxx, x(i));
+            miny = std::min(miny, y(i)); maxy = std::max(maxy, y(i));
+        }
+        double bx = (minx + maxx) / 2, by = (miny + maxy) / 2;
+        auto dist2 = [&](int32_t i, double qx, double qy) {
+            double dx = x(i) - qx, dy = y(i) - qy;
+            return dx * dx + dy * dy;
+        };
+        int32_t i0 = 0;
+        for (int32_t i = 1; i < n; ++i)
+            if (dist2(i, bx, by) < dist2(i0, bx, by)) i0 = i;
+        int32_t i1 = -1;
+        double best = std::numeric_limits<double>::infinity();
+        for (int32_t i = 0; i < n; ++i) {
+            if (i == i0) continue;
+            double d = dist2(i, x(i0), y(i0));
+            if (d > 0.0 && d < best) { best = d; i1 = i; }
+        }
+        if (i1 == -1) return -1;  // all points coincident
+        int32_t i2 = -1;
+        best = std::numeric_limits<double>::infinity();
+        for (int32_t i = 0; i < n; ++i) {
+            if (i == i0 || i == i1) continue;
+            double r = circum_r2(i0, i1, i);
+            if (r < best) { best = r; i2 = i; }
+        }
+        if (i2 == -1 || !std::isfinite(best)) return -1;  // collinear input
+        if (orient(i0, i1, i2) < 0) std::swap(i1, i2);
+
+        // sweep origin: seed circumcenter
+        {
+            double dx = x(i1) - x(i0), dy = y(i1) - y(i0);
+            double ex = x(i2) - x(i0), ey = y(i2) - y(i0);
+            double bl = dx * dx + dy * dy, cl = ex * ex + ey * ey;
+            double d = 0.5 / (dx * ey - dy * ex);
+            cx = x(i0) + (ey * bl - dy * cl) * d;
+            cy = y(i0) + (dx * cl - ex * bl) * d;
+        }
+        std::vector<int32_t> ids(n);
+        for (int32_t i = 0; i < n; ++i) ids[i] = i;
+        std::vector<double> d2(n);
+        for (int32_t i = 0; i < n; ++i) d2[i] = dist2(i, cx, cy);
+        std::sort(ids.begin(), ids.end(),
+                  [&](int32_t a, int32_t b) { return d2[a] < d2[b]; });
+
+        hash_size = (int32_t)std::ceil(std::sqrt((double)n));
+        hash.assign(hash_size, -1);
+        hull_prev.assign(n, -1);
+        hull_next.assign(n, -1);
+        hull_tri.assign(n, -1);
+        tri.reserve((size_t)6 * n);
+        half.reserve((size_t)6 * n);
+
+        int32_t hull_start = i0;
+        hull_next[i0] = i1; hull_prev[i1] = i0;
+        hull_next[i1] = i2; hull_prev[i2] = i1;
+        hull_next[i2] = i0; hull_prev[i0] = i2;
+        add_triangle(i0, i1, i2, -1, -1, -1);
+        hull_tri[i0] = 0; hull_tri[i1] = 1; hull_tri[i2] = 2;
+        hash[hash_key(x(i0), y(i0))] = i0;
+        hash[hash_key(x(i1), y(i1))] = i1;
+        hash[hash_key(x(i2), y(i2))] = i2;
+
+        double xp = 0, yp = 0;
+        for (int32_t k = 0; k < n; ++k) {
+            int32_t i = ids[k];
+            if (i == i0 || i == i1 || i == i2) continue;
+            if (k > 0 && x(i) == xp && y(i) == yp) continue;  // duplicate
+            xp = x(i); yp = y(i);
+
+            // visible hull edge: hash bucket, then walk forward
+            int32_t start = -1;
+            int32_t key = hash_key(x(i), y(i));
+            for (int32_t j = 0; j < hash_size; ++j) {
+                start = hash[(key + j) % hash_size];
+                if (start != -1 && start != hull_next[start]) break;
+            }
+            if (start == -1) return -1;
+            start = hull_prev[start];
+            int32_t e = start, q;
+            while (q = hull_next[e],
+                   !(orient(e, q, i) < 0)) {  // visible = strictly right
+                e = q;
+                if (e == start) { e = -1; break; }
+            }
+            if (e == -1) continue;  // coincides with the hull — skip
+
+            int32_t t = add_triangle(e, i, hull_next[e], -1, -1, hull_tri[e]);
+            hull_tri[i] = legalize(t + 2);
+            hull_tri[e] = t;
+
+            // walk forward, filling visible edges
+            int32_t nn = hull_next[e];
+            while (q = hull_next[nn], orient(nn, q, i) < 0) {
+                t = add_triangle(nn, i, q, hull_tri[i], -1, hull_tri[nn]);
+                hull_tri[i] = legalize(t + 2);
+                hull_next[nn] = nn;  // detached
+                nn = q;
+            }
+            // walk backward
+            if (e == start) {
+                while (q = hull_prev[e], orient(q, e, i) < 0) {
+                    t = add_triangle(q, i, e, -1, hull_tri[e], hull_tri[q]);
+                    legalize(t + 2);
+                    hull_tri[q] = t;
+                    hull_next[e] = e;  // detached
+                    e = q;
+                }
+            }
+            hull_start = e;
+            hull_prev[i] = e; hull_next[e] = i;
+            hull_prev[nn] = i; hull_next[i] = nn;
+            hash[hash_key(x(i), y(i))] = i;
+            hash[hash_key(x(e), y(e))] = e;
+        }
+        (void)hull_start;
+        return (int32_t)(tri.size() / 3);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// points: n interleaved (x, y) doubles; out_tris: caller-allocated space for
+// 3 * (2n) int32 vertex ids. Returns the triangle count or -1 on degenerate
+// input (n < 3, all points collinear/coincident).
+int32_t gk_delaunay(const double* points, int32_t n, int32_t* out_tris) {
+    Delaunator d;
+    d.pts = points;
+    d.n = n;
+    int32_t nt = d.run();
+    if (nt <= 0) return -1;
+    std::memcpy(out_tris, d.tri.data(), sizeof(int32_t) * d.tri.size());
+    return nt;
+}
+
 // normalization utility: returns total output points; out buffers sized by
 // caller via gk_norm_poly_sizes
 void gk_norm_poly_dists(const double* coords, const int32_t* offsets,

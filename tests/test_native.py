@@ -139,3 +139,104 @@ def test_norm_poly_dists_dispatch_threshold():
     per_poly = [norm_poly_dists([p], 5)[0] for p in polys]   # numpy path
     for a, b in zip(long_run, per_poly):
         assert a.x_points == b.x_points and a.y_points == b.y_points
+
+
+# ------------------------------------------------------------- delaunay
+def _delaunay_invariants(pts, tris):
+    """CCW orientation, convex-hull area coverage, Euler count, and the
+    empirical in-circle property — together these pin a valid Delaunay
+    triangulation without requiring qhull's tie-breaking."""
+    from scipy.spatial import ConvexHull
+
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    cross = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+             - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+    assert (cross > 0).all()
+    uniq = np.unique(pts, axis=0)
+    hull = ConvexHull(uniq)
+    hv = uniq[hull.vertices]
+    shoelace = 0.5 * abs(np.dot(hv[:, 0], np.roll(hv[:, 1], -1))
+                         - np.dot(hv[:, 1], np.roll(hv[:, 0], -1)))
+    assert cross.sum() / 2 == pytest.approx(shoelace, rel=1e-9)
+    # Euler: T = 2V - 2 - h with h the boundary-edge count (collinear rim
+    # points are triangulation hull vertices even though qhull's ConvexHull
+    # drops them, so h cannot come from hull.vertices)
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    keys = edges.min(1).astype(np.int64) * len(pts) + edges.max(1)
+    _, counts = np.unique(keys, return_counts=True)
+    h = int((counts == 1).sum())
+    assert tris.shape[0] == 2 * len(uniq) - 2 - h
+    # every unique point is a vertex of some triangle
+    used = {tuple(p) for p in pts[np.unique(tris)]}
+    assert used == {tuple(p) for p in uniq}
+    rng = np.random.RandomState(0)
+    for t in tris[rng.choice(len(tris), min(25, len(tris)), replace=False)]:
+        (ax, ay), (bx, by), (cx, cy) = pts[t]
+        d = 2 * ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+        ux = ((bx**2 - ax**2 + by**2 - ay**2) * (cy - ay)
+              - (cx**2 - ax**2 + cy**2 - ay**2) * (by - ay)) / d
+        uy = ((cx**2 - ax**2 + cy**2 - ay**2) * (bx - ax)
+              - (bx**2 - ax**2 + by**2 - ay**2) * (cx - ax)) / d
+        r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+        dist2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+        inside = dist2 < r2 * (1 - 1e-9)
+        inside[t] = False
+        assert not inside.any()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_delaunay_native_random(seed):
+    from citlab_as_tpu.geometry.native import delaunay_native
+
+    rng = np.random.RandomState(seed)
+    pts = rng.rand(rng.randint(10, 300), 2) * 1000
+    tris = delaunay_native(pts)
+    if tris is None:
+        pytest.skip("native kernel unavailable")
+    _delaunay_invariants(pts, tris)
+
+
+def test_delaunay_native_degenerate_grid_and_dups():
+    from citlab_as_tpu.geometry.native import delaunay_native
+
+    xs, ys = np.meshgrid(np.arange(15), np.arange(15))
+    grid = np.stack([xs.ravel(), ys.ravel()], 1).astype(float)
+    pts = np.concatenate([grid, grid[::6]])  # cocircular everywhere + dups
+    tris = delaunay_native(pts)
+    if tris is None:
+        pytest.skip("native kernel unavailable")
+    _delaunay_invariants(pts, tris)
+
+
+def test_delaunay_native_rejects_degenerate():
+    from citlab_as_tpu.geometry.native import delaunay_native, native_available
+
+    if not native_available():
+        pytest.skip("native kernel unavailable")
+    line = np.stack([np.arange(40.0), np.zeros(40)], 1)
+    assert delaunay_native(line) is None               # collinear
+    assert delaunay_native(np.tile([[3.0, 4.0]], (9, 1))) is None  # coincident
+    assert delaunay_native(np.zeros((2, 2))) is None   # too few
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_alpha_shape_native_matches_scipy(seed, monkeypatch):
+    """On general-position clouds the Delaunay triangulation is unique, so
+    the alpha-shape boundary must agree point-for-point (as a cyclic set)
+    between the native and scipy triangulations."""
+    from citlab_as_tpu.geometry import native as native_mod
+    from citlab_as_tpu.geometry.util import alpha_shape
+
+    if not native_mod.native_available():
+        pytest.skip("native kernel unavailable")
+    rng = np.random.RandomState(seed)
+    # textregion-like ribbon rows with jitter breaking all ties
+    rows = [np.stack([np.arange(30) * 50.0 + rng.rand(30),
+                      np.full(30, r * 68.0) + rng.rand(30)], 1)
+            for r in range(12)]
+    pts = np.concatenate(rows)
+    b_native = alpha_shape(pts, alpha=75)
+    monkeypatch.setattr(native_mod, "get_lib", lambda: None)
+    b_scipy = alpha_shape(pts, alpha=75)
+    assert {tuple(p) for p in b_native} == {tuple(p) for p in b_scipy}
+    assert len(b_native) == len(b_scipy)
