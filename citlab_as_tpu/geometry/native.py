@@ -84,14 +84,19 @@ def native_available() -> bool:
 
 
 def _pack(polys: Sequence[Polygon]) -> Tuple[np.ndarray, np.ndarray]:
-    offsets = np.zeros(len(polys) + 1, np.int32)
-    for i, p in enumerate(polys):
-        offsets[i + 1] = offsets[i] + p.n_points
-    coords = np.empty((int(offsets[-1]), 2), np.float64)
-    for i, p in enumerate(polys):
-        coords[offsets[i]:offsets[i + 1], 0] = p.x_points
-        coords[offsets[i]:offsets[i + 1], 1] = p.y_points
-    return np.ascontiguousarray(coords), offsets
+    from itertools import chain
+
+    n = len(polys)
+    offsets = np.zeros(n + 1, np.int32)
+    np.cumsum(np.fromiter((p.n_points for p in polys), np.int32, n),
+              out=offsets[1:])
+    total = int(offsets[-1])
+    coords = np.empty((total, 2), np.float64)
+    coords[:, 0] = np.fromiter(
+        chain.from_iterable(p.x_points for p in polys), np.float64, total)
+    coords[:, 1] = np.fromiter(
+        chain.from_iterable(p.y_points for p in polys), np.float64, total)
+    return coords, offsets
 
 
 def _dp(a):
