@@ -99,6 +99,37 @@ def make_fused_separator_fn(model):
     return fused
 
 
+def make_fused_separator_binary_fn(model):
+    """Forward-only variant of :func:`make_fused_separator_fn`: resize ->
+    ARU forward -> quantize -> threshold -> bit-pack, WITHOUT the device
+    CC/morphology tail. Used when the native run-space post-processor
+    (geometry.native.separator_post_native, bit-identical to the device
+    chain) handles CC + openings on the host: the device CC fixpoint was
+    ~180 ms per 7-page group — the single biggest slab of the wave
+    pipeline's device floor — while the native post costs ~3-9 ms/page of
+    otherwise idle host time, and the readback halves (one packed mask
+    instead of stacked h/v)."""
+    @partial(jax.jit, static_argnames=("out_h", "out_w", "threshold",
+                                       "pad_multiple"))
+    def fused(variables, img_u8, out_h: int, out_w: int, threshold: float,
+              pad_multiple: int = 64):
+        x = img_u8.astype(jnp.float32)
+        if (out_h, out_w) != x.shape[1:]:
+            x = jax.image.resize(x, (x.shape[0], out_h, out_w),
+                                 method="linear", antialias=True)
+        ph = -out_h % pad_multiple
+        pw = -out_w % pad_multiple
+        net_in = jnp.pad(x, ((0, 0), (0, ph), (0, pw)))[..., None] / 255.0
+        logits, _ = model.apply(variables, net_in)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs0 = probs[:, :out_h, :out_w, 0]
+        net_u8 = (probs0.astype(jnp.float32) * 255.0).astype(jnp.uint8)
+        binary = net_u8.astype(jnp.float32) > threshold * 255.0
+        return pack_bits_device(binary)
+
+    return fused
+
+
 def pack_bits_device(mask: jnp.ndarray) -> jnp.ndarray:
     """[..., W] bool -> [..., ceil(W/8)] uint8, MSB-first (np.unpackbits
     compatible). jnp.packbits lowers to ~170 ms/batch gather code on TPU;
@@ -133,7 +164,8 @@ def _remove_small_components_host(binary: np.ndarray,
 
 
 def separator_post_process(binary: np.ndarray,
-                           use_pallas: Optional[bool] = None) -> Dict[str, np.ndarray]:
+                           use_pallas: Optional[bool] = None,
+                           use_native: Optional[bool] = None) -> Dict[str, np.ndarray]:
     """Post-process a thresholded separator-channel image into horizontal and
     vertical separator masks. Kernel sizes scale with image size exactly as
     the reference: h = 15*W/1000, v = 30*H/1500, noise = 10*W/1000.
@@ -151,6 +183,17 @@ def separator_post_process(binary: np.ndarray,
 
     if use_pallas is None:
         use_pallas = False
+
+    if use_native is None:
+        import os
+        use_native = (not use_pallas
+                      and os.environ.get("CITLAB_SEP_POST", "native") != "device")
+    if use_native:
+        from citlab_as_tpu.geometry.native import separator_post_native
+        res = separator_post_native(binary, 100, h_kernel, v_kernel,
+                                    noise_kernel)
+        if res is not None:
+            return {"horizontal": res[0], "vertical": res[1]}
 
     if use_pallas:
         from citlab_as_tpu.ops.pallas.separator_morphology import fused_separator_masks
@@ -308,12 +351,9 @@ class SeparatorNetPostProcessor:
         a corpus compiles one program per page shape. ``device_batch`` lets
         a pipeline driver share ONE uploaded [max_batch, H0, W0] uint8 array
         between stages instead of uploading the images per stage."""
-        from citlab_as_tpu.ops.resize import get_scaling_factor
+        import os
 
-        fused = getattr(self.predict_fn, "_fused_separator", None)
-        if fused is None:
-            fused = make_fused_separator_fn(self.predict_fn.model)
-            self.predict_fn._fused_separator = fused
+        from citlab_as_tpu.ops.resize import get_scaling_factor
 
         h0, w0 = images[0].shape
         sc = get_scaling_factor(h0, w0, self.scaling_factor,
@@ -328,12 +368,40 @@ class SeparatorNetPostProcessor:
             while len(images) < max_batch:
                 images = images + [images[-1]]
             batch = jnp.asarray(np.stack(images))
+
+        # native host post (bit-identical, golden-tested) keeps the device
+        # program forward-only — the device CC fixpoint was the biggest
+        # slab of the wave pipeline's device floor. CITLAB_SEP_POST=device
+        # restores the fully fused device chain.
+        from citlab_as_tpu.geometry.native import native_available
+        use_native = (os.environ.get("CITLAB_SEP_POST", "native") != "device"
+                      and native_available())
+        from citlab_as_tpu.ops.device_hold import hold
+        if use_native:
+            fused = getattr(self.predict_fn, "_fused_separator_binary", None)
+            if fused is None:
+                fused = make_fused_separator_binary_fn(self.predict_fn.model)
+                self.predict_fn._fused_separator_binary = fused
+            bin_packed = fused(
+                self.predict_fn.variables, batch, out_h=out_h, out_w=out_w,
+                threshold=self.threshold,
+                pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
+            hold(batch, bin_packed)
+            return {"chunk": chunk, "packed": bin_packed,
+                    "out_h": out_h, "out_w": out_w,
+                    "scales": [sc] * len(chunk),
+                    "kernels": (h_kernel, v_kernel, noise_kernel),
+                    "materialized": False}
+
+        fused = getattr(self.predict_fn, "_fused_separator", None)
+        if fused is None:
+            fused = make_fused_separator_fn(self.predict_fn.model)
+            self.predict_fn._fused_separator = fused
         hv_packed = fused(
             self.predict_fn.variables, batch, out_h=out_h, out_w=out_w,
             h_kernel=h_kernel, v_kernel=v_kernel, noise_kernel=noise_kernel,
             threshold=self.threshold,
             pad_multiple=getattr(self.predict_fn, "pad_multiple", 64))
-        from citlab_as_tpu.ops.device_hold import hold
         hold(batch, hv_packed)
         return (chunk, hv_packed, out_w, [sc] * len(chunk))
 
@@ -342,6 +410,11 @@ class SeparatorNetPostProcessor:
         ONE readback (the program returns them stacked). A pipeline driver
         calls this BEFORE dispatching the next group's big programs so the
         whole host tail then overlaps device compute."""
+        if isinstance(entry, dict):                 # native-post mode
+            if not entry["materialized"]:
+                entry = dict(entry, packed=np.asarray(entry["packed"]),
+                             materialized=True)
+            return entry
         chunk, hv_packed, out_w, scales = entry
         hv = np.asarray(hv_packed)
         return (chunk, hv[0], hv[1], out_w, scales)
@@ -352,8 +425,13 @@ class SeparatorNetPostProcessor:
         PAGE-XML)."""
         import time as _time
         t0 = _time.perf_counter()
-        if len(entry) == 4:               # raw in-flight entry
+        if isinstance(entry, dict) or len(entry) == 4:  # raw in-flight entry
             entry = self.fused_materialize(entry)
+        if isinstance(entry, dict):                     # native-post mode
+            if phase is not None:
+                phase["materialize"] += _time.perf_counter() - t0
+            self._drain_native(entry, pages_by_path, phase)
+            return
         chunk, h_packed, v_packed, out_w, scales = entry
         h_packed = np.asarray(h_packed)
         v_packed = np.asarray(v_packed)
@@ -365,6 +443,35 @@ class SeparatorNetPostProcessor:
                 "horizontal": unpack_mask_bits(h_packed[i], out_w),
                 "vertical": unpack_mask_bits(v_packed[i], out_w),
             }
+            polygons_dict = {}
+            for separator_type, mask in masks.items():
+                polygons_dict.update(masks_to_polygons(mask, separator_type))
+            polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
+            if phase is not None:
+                phase["contours"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            pages_by_path[image_path] = self._write_page(
+                image_path, polygons_dict)
+            if phase is not None:
+                phase["write"] += _time.perf_counter() - t0
+
+    def _drain_native(self, entry: dict, pages_by_path: dict, phase=None) -> None:
+        """Host tail of the native-post mode: unpack the thresholded binary,
+        run the C run-space post-chain (CC filter + openings, bit-identical
+        to the device chain), then contours + PAGE-XML as usual."""
+        import time as _time
+
+        from citlab_as_tpu.geometry.native import separator_post_native
+
+        h_kernel, v_kernel, noise_kernel = entry["kernels"]
+        packed, out_w = entry["packed"], entry["out_w"]
+        for i, (image_path, sc) in enumerate(zip(entry["chunk"],
+                                                 entry["scales"])):
+            t0 = _time.perf_counter()
+            binary = unpack_mask_bits(packed[i], out_w)
+            horizontal, vertical = separator_post_native(
+                binary, 100, h_kernel, v_kernel, noise_kernel)
+            masks = {"horizontal": horizontal, "vertical": vertical}
             polygons_dict = {}
             for separator_type, mask in masks.items():
                 polygons_dict.update(masks_to_polygons(mask, separator_type))

@@ -688,6 +688,134 @@ int32_t gk_delaunay(const double* points, int32_t n, int32_t* out_tris) {
     return nt;
 }
 
+// Separator-mask post-processing in run space — the host twin of the
+// device chain stages/separator.py:_separator_masks_device (reference:
+// separator_net_post_processor.py:33-97): 8-connected CC filter
+// (>= min_size), horizontal/vertical openings, saturated subtract, noise
+// opening. All inputs are {0, 255} masks, so every step is exact on
+// row/column runs:
+//   * opening with a 1-D kernel k keeps a run [s, e) iff its eroded run
+//     [s>0 ? s+k/2 : 0, e<W ? e-(k-1-k/2) : W) is nonempty (erosion pads
+//     +inf at the image border per cv2, so border-touching short runs
+//     survive), and dilating back restores the original extent clipped to
+//     the image;
+//   * the subtract of two {0,255} masks is h &= ~v.
+// ~3 ms/page vs ~26 ms/page for the device CC fixpoint — this moves the
+// biggest slab of the wave pipeline's device floor onto the (otherwise
+// idle) host.
+
+static int32_t uf_find(std::vector<int32_t>& parent, int32_t i) {
+    while (parent[i] != i) {
+        parent[i] = parent[parent[i]];
+        i = parent[i];
+    }
+    return i;
+}
+
+// opening of one line of `len` values (stride-able) with kernel k
+static void open_line_runs(const uint8_t* in, uint8_t* out, int32_t len,
+                           int64_t stride, int32_t k) {
+    // out is pre-zeroed by the caller
+    int32_t lead = k / 2, trail = k - 1 - k / 2;
+    int32_t x = 0;
+    while (x < len) {
+        if (!in[(int64_t)x * stride]) { ++x; continue; }
+        int32_t s = x;
+        while (x < len && in[(int64_t)x * stride]) ++x;
+        int32_t e = x;  // run [s, e)
+        // erode: x survives iff [x-lead, x+trail] within the run (border
+        // cells pad +inf); dilate: x lit iff its [x-lead, x+trail] window
+        // touches the eroded run -> [es-trail, ee+lead). For even kernels
+        // the two pads differ, shifting the opening by one (cv2 anchor
+        // quirk, matched by ops/morphology.py)
+        int32_t es = (s == 0) ? 0 : s + lead;
+        int32_t ee = (e == len) ? len : e - trail;
+        if (es < ee) {
+            int32_t ds = std::max(0, es - trail);
+            int32_t de = std::min(len, ee + lead);
+            for (int32_t j = ds; j < de; ++j) out[(int64_t)j * stride] = 255;
+        }
+    }
+}
+
+void gk_separator_post(const uint8_t* binary, int32_t h, int32_t w,
+                       int32_t min_size, int32_t h_kernel, int32_t v_kernel,
+                       int32_t noise_kernel, uint8_t* out_h, uint8_t* out_v) {
+    // --- 8-connected CC over row runs (union-find) ---
+    struct Run { int32_t s, e, id; };
+    std::vector<Run> prev, cur;
+    std::vector<int32_t> parent;
+    std::vector<int64_t> size;
+    std::vector<Run> all_runs;
+    all_runs.reserve(1024);
+    std::vector<int32_t> row_offsets(h + 1, 0);
+
+    for (int32_t y = 0; y < h; ++y) {
+        cur.clear();
+        const uint8_t* row = binary + (int64_t)y * w;
+        int32_t x = 0;
+        while (x < w) {
+            if (!row[x]) { ++x; continue; }
+            int32_t s = x;
+            while (x < w && row[x]) ++x;
+            int32_t id = (int32_t)parent.size();
+            parent.push_back(id);
+            size.push_back(x - s);
+            cur.push_back({s, x, id});
+        }
+        // merge with the previous row: 8-connectivity joins run [s, e)
+        // with prev run [ps, pe) iff ps <= e && pe >= s (column ranges
+        // touch after expanding the current run by one on both sides)
+        size_t pi = 0;
+        for (const Run& r : cur) {
+            while (pi < prev.size() && prev[pi].e < r.s) ++pi;
+            for (size_t pj = pi; pj < prev.size() && prev[pj].s <= r.e; ++pj) {
+                int32_t ra = uf_find(parent, r.id);
+                int32_t rb = uf_find(parent, prev[pj].id);
+                if (ra != rb) {
+                    parent[rb] = ra;
+                    size[ra] += size[rb];
+                }
+            }
+        }
+        for (const Run& r : cur) all_runs.push_back(r);
+        row_offsets[y + 1] = (int32_t)all_runs.size();
+        prev.swap(cur);
+    }
+
+    // cleaned mask: survivors of the size filter
+    std::vector<uint8_t> cleaned((size_t)h * w, 0);
+    for (int32_t y = 0; y < h; ++y) {
+        uint8_t* row = cleaned.data() + (int64_t)y * w;
+        for (int32_t ri = row_offsets[y]; ri < row_offsets[y + 1]; ++ri) {
+            const Run& r = all_runs[ri];
+            if (size[uf_find(parent, r.id)] >= min_size)
+                std::memset(row + r.s, 255, r.e - r.s);
+        }
+    }
+
+    // horizontal opening (kernel h_kernel x 1) -> out_h
+    std::memset(out_h, 0, (size_t)h * w);
+    for (int32_t y = 0; y < h; ++y)
+        open_line_runs(cleaned.data() + (int64_t)y * w,
+                       out_h + (int64_t)y * w, w, 1, h_kernel);
+    // vertical opening (1 x v_kernel) -> out_v
+    std::memset(out_v, 0, (size_t)h * w);
+    for (int32_t x = 0; x < w; ++x)
+        open_line_runs(cleaned.data() + x, out_v + x, h, w, v_kernel);
+    // saturated subtract: {0,255} masks -> h &= ~v
+    for (int64_t i = 0; i < (int64_t)h * w; ++i)
+        if (out_v[i]) out_h[i] = 0;
+    // noise opening along rows, in place (runs re-read before rewrite)
+    std::vector<uint8_t> line(w);
+    for (int32_t y = 0; y < h; ++y) {
+        uint8_t* row = out_h + (int64_t)y * w;
+        std::memcpy(line.data(), row, w);
+        std::memset(row, 0, w);
+        open_line_runs(line.data(), row, w, 1, noise_kernel);
+    }
+}
+
 // normalization utility: returns total output points; out buffers sized by
 // caller via gk_norm_poly_sizes
 void gk_norm_poly_dists(const double* coords, const int32_t* offsets,

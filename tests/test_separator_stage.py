@@ -273,3 +273,79 @@ def test_run_batched_fused_with_resize(tmp_path):
             s.points.to_string()
             for s in page.get_regions().get("SeparatorRegion", []))
         assert single == fused[i]
+
+
+def test_native_post_matches_device_chain():
+    """gk_separator_post (run-space CC + openings in C) is bit-identical to
+    the device chain (scipy-CC oracle + jitted morphology) across kernel
+    parities, border-touching runs, and min_size settings."""
+    import jax.numpy as jnp
+    from citlab_as_tpu.geometry.native import (native_available,
+                                               separator_post_native)
+    from citlab_as_tpu.stages.separator import (
+        _remove_small_components_host, _separator_morphology_device)
+
+    if not native_available():
+        pytest.skip("native kernel unavailable")
+    rng = np.random.RandomState(7)
+    for trial in range(10):
+        h, w = rng.randint(40, 160), rng.randint(40, 160)
+        m = np.zeros((h, w), np.uint8)
+        for _ in range(rng.randint(1, 5)):
+            x = rng.randint(0, w)
+            m[rng.randint(0, h // 2):rng.randint(h // 2, h),
+              max(0, x - 1):x + 1] = 255
+        for _ in range(rng.randint(1, 5)):
+            y = rng.randint(0, h)
+            m[max(0, y - 1):y + 1,
+              rng.randint(0, w // 2):rng.randint(w // 2, w)] = 255
+        m[rng.rand(h, w) < 0.02] = 255
+        if trial % 2 == 0:     # border-touching short runs
+            m[0, :rng.randint(3, 15)] = 255
+            m[:rng.randint(3, 15), -1] = 255
+        hk, vk, nk = rng.randint(1, 33), rng.randint(1, 33), rng.randint(1, 15)
+        ms = int(rng.choice([1, 5, 100]))
+        cleaned = _remove_small_components_host(m, ms)
+        dh, dv = _separator_morphology_device(jnp.asarray(cleaned), hk, vk, nk)
+        nh, nv = separator_post_native(m, ms, hk, vk, nk)
+        assert (nv == np.asarray(dv)).all(), (trial, hk, vk, nk, ms)
+        assert (nh == np.asarray(dh)).all(), (trial, hk, vk, nk, ms)
+
+
+def test_fused_native_mode_matches_device_mode(tmp_path, monkeypatch):
+    """run_batched_fused writes identical SeparatorRegions whether the
+    CC/morphology post runs on device (CITLAB_SEP_POST=device) or through
+    the native run-space kernel (default)."""
+    from PIL import Image
+    from citlab_as_tpu.geometry.native import native_available
+    from citlab_as_tpu.inference import SegmentationPredictor
+    from citlab_as_tpu.pagexml import Page
+    from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
+
+    if not native_available():
+        pytest.skip("native kernel unavailable")
+    paths = []
+    for i in range(2):
+        img = np.full((96, 128), 255, np.uint8)
+        img[8:88, 60 + i:64 + i] = 0
+        p = tmp_path / f"nm{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    pred = SegmentationPredictor(model_dir=None, pad_multiple=32, seed=1)
+
+    results = {}
+    for mode in ("device", "native"):
+        monkeypatch.setenv("CITLAB_SEP_POST", mode)
+        for i in range(2):
+            out = tmp_path / "page" / f"nm{i}.xml.xml"
+            if out.exists():
+                os.remove(str(out))
+        proc = SeparatorNetPostProcessor(paths, pred, fixed_height=None,
+                                         threshold=0.3)
+        proc.run_batched_fused(batch_size=2)
+        results[mode] = [
+            sorted(s.points.to_string() for s in
+                   Page(str(tmp_path / "page" / f"nm{i}.xml.xml"))
+                   .get_regions().get("SeparatorRegion", []))
+            for i in range(2)]
+    assert results["native"] == results["device"]
