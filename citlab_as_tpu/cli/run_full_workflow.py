@@ -275,6 +275,13 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
     pend_head = None   # (head_state, chunk)
     pend_gnn = None    # (materialize, [(json, page, image)] triples)
 
+    # sub-part split of the separator host tail (unpack+native-post+trace
+    # under 'contours', XML serialize under 'write') — merged into timings
+    # as separator_drain.* at the end so the bench breakdown shows where
+    # the drain actually goes
+    sep_phase = {"load": 0.0, "dispatch": 0.0, "materialize": 0.0,
+                 "contours": 0.0, "write": 0.0}
+
     def advance(images, chunk):
         nonlocal pend_head, pend_gnn
         new_head = new_gnn = None
@@ -308,15 +315,20 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
             # their drains happen a wave later, after the next barrier
             sep_np, head_entry, pchunk = mat
             part("separator_drain",
-                 lambda: sep_proc.fused_drain(sep_np, {}))
+                 lambda: sep_proc.fused_drain(sep_np, {}, phase=sep_phase))
             head_state = part("heading_dispatch",
                               lambda: head_proc.fused_drain_dispatch(head_entry))
             new_head = (head_state, pchunk)
 
         if pend_head is not None:
             head_state, pchunk = pend_head
-            part("heading_drain",
-                 lambda: head_proc.fused_drain_finish(head_state, {}))
+            # split halves: 'heading_drain' is the device wait (scalar
+            # feature readback), 'heading_finish' the pure-host classify +
+            # XML tail
+            head_mat = part("heading_drain",
+                            lambda: head_proc.fused_materialize(head_state))
+            part("heading_finish",
+                 lambda: head_proc.fused_finish(head_mat, {}))
             page_paths = [get_page_path(p) + ".xml" for p in pchunk]
 
             def run_baselines():
@@ -345,9 +357,11 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
 
         if pend_gnn is not None:
             materialize, triples = pend_gnn
+            # split: 'gnn_materialize' is the device wait on the relation
+            # net's confidences, 'gnn_clustering' the pure-host clustering
+            confs = part("gnn_materialize", materialize)
 
             def run_gnn():
-                confs = materialize()
                 for i, (json_path, pp, ip) in enumerate(triples):
                     clustered_by_path[ip] = gnn_clustering_for_page(
                         json_path, gnn_predictor,
@@ -378,6 +392,9 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
 
     clustered = [clustered_by_path[p] for p in image_paths
                  if p in clustered_by_path]
+    for k in ("contours", "write"):
+        timings["separator_drain." + k] = (
+            timings.get("separator_drain." + k, 0.0) + sep_phase[k])
     timings["total"] = timings.get("total", 0.0) + _time.time() - t_start
     return {"pages": page_paths_all, "clustered": clustered,
             "timings": timings}
