@@ -305,6 +305,10 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                     list(images), chunk, max_batch, device_batch=device_batch)
                 head_entry = head_proc.fused_dispatch(
                     list(images), chunk, max_batch, device_batch=device_batch)
+                # async-copy the group's separator masks behind its own
+                # programs: the transfer rides the wire during this wave's
+                # host tail instead of blocking at the materialize barrier
+                sep_proc.fused_prefetch(sep_entry)
                 return (sep_entry, head_entry, chunk)
             pend_bigs.append(part("dispatch", dispatch_big))
 

@@ -396,6 +396,8 @@ class RelationPredictor:
         inputs, ns = self._batch_inputs(graphs, images)
         self._ensure_params(inputs)
         dev_conf = self._predict(self.variables, inputs)
+        from citlab_as_tpu.utils.async_copy import prefetch
+        prefetch(dev_conf)
 
         def materialize():
             conf = np.asarray(dev_conf)

@@ -795,6 +795,14 @@ class DeviceLineFeatures:
         # (next group executing) is the suspected relay poison
         _hold(dt_dev, prob_dev, sb_dev, nb_dev, dt_s, prob_s,
               sw_th_dev if packed_dev is None else packed_dev, sums_dev)
+        # enqueue the async device->host copy behind the program so the
+        # (tiny, but 32 ms-roundtrip-floored) readback overlaps the next
+        # wave's host work instead of blocking at materialize
+        from citlab_as_tpu.utils.async_copy import prefetch as _prefetch
+        if packed_dev is not None:
+            _prefetch(packed_dev)
+        else:
+            _prefetch(sw_th_dev, sums_dev)
 
         def materialize():
             # gather mode: force the chain to completion on a quiet queue
