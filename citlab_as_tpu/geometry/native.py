@@ -78,6 +78,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.gk_separator_post.argtypes = [
         u8, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, u8, u8]
+    lib.gk_separator_post_packed.argtypes = [
+        u8, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8, u8]
     _lib = lib
     logger.info("Loaded native geometry kernel from %s", _LIB_PATH)
     return _lib
@@ -169,6 +172,31 @@ def separator_post_native(binary: np.ndarray, min_size: int, h_kernel: int,
     lib.gk_separator_post(
         b.ctypes.data_as(u8), h, w, int(min_size), int(h_kernel),
         int(v_kernel), int(noise_kernel),
+        out_h.ctypes.data_as(u8), out_v.ctypes.data_as(u8))
+    return out_h, out_v
+
+
+def separator_post_native_packed(packed: np.ndarray, width: int,
+                                 min_size: int, h_kernel: int, v_kernel: int,
+                                 noise_kernel: int
+                                 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Bit-packed variant of :func:`separator_post_native`: ``packed`` is
+    the device's np.packbits(mask, axis=1) readback ([H, ceil(W/8)] uint8,
+    MSB-first) — the dense binary mask is never materialized on the host
+    (the C kernel scans bit rows directly, short-circuiting zero bytes)."""
+    import ctypes as ct
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(np.asarray(packed), np.uint8)
+    h, stride = p.shape
+    out_h = np.zeros((h, width), np.uint8)
+    out_v = np.zeros((h, width), np.uint8)
+    u8 = ct.POINTER(ct.c_uint8)
+    lib.gk_separator_post_packed(
+        p.ctypes.data_as(u8), h, int(width), stride, int(min_size),
+        int(h_kernel), int(v_kernel), int(noise_kernel),
         out_h.ctypes.data_as(u8), out_v.ctypes.data_as(u8))
     return out_h, out_v
 

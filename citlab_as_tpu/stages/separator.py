@@ -469,21 +469,21 @@ class SeparatorNetPostProcessor:
                 phase["write"] += _time.perf_counter() - t0
 
     def _drain_native(self, entry: dict, pages_by_path: dict, phase=None) -> None:
-        """Host tail of the native-post mode: unpack the thresholded binary,
-        run the C run-space post-chain (CC filter + openings, bit-identical
-        to the device chain), then contours + PAGE-XML as usual."""
+        """Host tail of the native-post mode: run the C run-space post-chain
+        (CC filter + openings, bit-identical to the device chain) straight
+        off the bit-packed readback — the dense binary is never
+        materialized — then contours + PAGE-XML as usual."""
         import time as _time
 
-        from citlab_as_tpu.geometry.native import separator_post_native
+        from citlab_as_tpu.geometry.native import separator_post_native_packed
 
         h_kernel, v_kernel, noise_kernel = entry["kernels"]
         packed, out_w = entry["packed"], entry["out_w"]
         for i, (image_path, sc) in enumerate(zip(entry["chunk"],
                                                  entry["scales"])):
             t0 = _time.perf_counter()
-            binary = unpack_mask_bits(packed[i], out_w)
-            horizontal, vertical = separator_post_native(
-                binary, 100, h_kernel, v_kernel, noise_kernel)
+            horizontal, vertical = separator_post_native_packed(
+                packed[i], out_w, 100, h_kernel, v_kernel, noise_kernel)
             masks = {"horizontal": horizontal, "vertical": vertical}
             polygons_dict = {}
             for separator_type, mask in masks.items():

@@ -738,34 +738,148 @@ static void open_line_runs(const uint8_t* in, uint8_t* out, int32_t len,
     }
 }
 
-void gk_separator_post(const uint8_t* binary, int32_t h, int32_t w,
-                       int32_t min_size, int32_t h_kernel, int32_t v_kernel,
-                       int32_t noise_kernel, uint8_t* out_h, uint8_t* out_v) {
-    // --- 8-connected CC over row runs (union-find) ---
-    struct Run { int32_t s, e, id; };
-    std::vector<Run> prev, cur;
+namespace seppost {
+
+struct Run { int32_t s, e, id; };
+
+// Shared run-space core. ``runs`` holds the foreground row runs in
+// row-major order with ``row_offsets`` [h+1] indexing them; everything
+// downstream of the CC size filter touches only run extents, never a
+// dense intermediate — the old dense formulation's strided column pass
+// (the vertical opening) alone cost more than this whole function.
+//
+// Exactness argument vs the dense chain (golden-tested):
+//   * 1-D opening of a {0,255} line = per maximal run [s, e): erode to
+//     [es, ee) with es = (s==0)?0:s+lead, ee = (e==len)?len:e-trail
+//     (border cells pad +inf per cv2), and if nonempty dilate back to
+//     [max(0,es-trail), min(len,ee+lead)). For two runs with gap g >= 1,
+//     the dilated images keep gap exactly g (ds2-de1 = s2-e1), so opened
+//     runs never merge and run order is preserved.
+//   * the saturated subtract only clears columns where out_v is set, so
+//     the noise opening's maximal input runs are exactly the candidate
+//     h-run fragments between painted v columns.
+static void post_from_runs(const std::vector<Run>& all_runs,
+                           const std::vector<int32_t>& row_offsets,
+                           std::vector<int32_t>& parent,
+                           const std::vector<int64_t>& size,
+                           int32_t h, int32_t w, int32_t min_size,
+                           int32_t h_kernel, int32_t v_kernel,
+                           int32_t noise_kernel,
+                           uint8_t* out_h, uint8_t* out_v) {
+    std::memset(out_h, 0, (size_t)h * w);
+    std::memset(out_v, 0, (size_t)h * w);
+
+    // --- vertical opening -> out_v: sweep rows, tracking per-column run
+    // starts of the SURVIVOR coverage; a column's run ends where coverage
+    // stops, and the opening formula paints its dilated extent. Work is
+    // O(coverage-change columns), i.e. O(survivor px) worst case.
+    int32_t v_lead = v_kernel / 2, v_trail = v_kernel - 1 - v_kernel / 2;
+    std::vector<int32_t> start_y(w, -1);
+    std::vector<std::pair<int32_t, int32_t>> prev_iv, cur_iv;
+    auto end_col = [&](int32_t x, int32_t y_end) {
+        int32_t s = start_y[x];
+        start_y[x] = -1;
+        int32_t es = (s == 0) ? 0 : s + v_lead;
+        int32_t ee = (y_end == h) ? h : y_end - v_trail;
+        if (es < ee) {
+            int32_t ds = std::max(0, es - v_trail);
+            int32_t de = std::min(h, ee + v_lead);
+            uint8_t* p = out_v + (int64_t)ds * w + x;
+            for (int32_t yy = ds; yy < de; ++yy, p += w) *p = 255;
+        }
+    };
+    for (int32_t y = 0; y <= h; ++y) {
+        cur_iv.clear();
+        if (y < h) {
+            for (int32_t ri = row_offsets[y]; ri < row_offsets[y + 1]; ++ri) {
+                const Run& r = all_runs[ri];
+                if (size[uf_find(parent, r.id)] >= min_size)
+                    cur_iv.push_back({r.s, r.e});
+            }
+        }
+        // boundary sweep over the two sorted disjoint interval lists:
+        // between consecutive interval endpoints membership is constant,
+        // so each segment is processed wholesale
+        size_t pi = 0, ci = 0;
+        int32_t x = 0;
+        while (true) {
+            while (pi < prev_iv.size() && prev_iv[pi].second <= x) ++pi;
+            while (ci < cur_iv.size() && cur_iv[ci].second <= x) ++ci;
+            if (pi >= prev_iv.size() && ci >= cur_iv.size()) break;
+            bool in_p = pi < prev_iv.size() && prev_iv[pi].first <= x;
+            bool in_c = ci < cur_iv.size() && cur_iv[ci].first <= x;
+            int32_t nb = w;
+            if (pi < prev_iv.size())
+                nb = std::min(nb, in_p ? prev_iv[pi].second : prev_iv[pi].first);
+            if (ci < cur_iv.size())
+                nb = std::min(nb, in_c ? cur_iv[ci].second : cur_iv[ci].first);
+            if (in_p && !in_c)
+                for (int32_t xx = x; xx < nb; ++xx) end_col(xx, y);
+            else if (in_c && !in_p)
+                for (int32_t xx = x; xx < nb; ++xx) start_y[xx] = y;
+            x = nb;
+        }
+        prev_iv.swap(cur_iv);
+    }
+
+    // --- horizontal opening + subtract + noise opening -> out_h, all in
+    // run space: per survivor run, open along x; scan the candidate's
+    // extent in the (already painted) out_v row to split it at v columns;
+    // noise-open each fragment.
+    int32_t h_lead = h_kernel / 2, h_trail = h_kernel - 1 - h_kernel / 2;
+    int32_t n_lead = noise_kernel / 2, n_trail = noise_kernel - 1 - noise_kernel / 2;
+    for (int32_t y = 0; y < h; ++y) {
+        const uint8_t* vrow = out_v + (int64_t)y * w;
+        uint8_t* hrow = out_h + (int64_t)y * w;
+        for (int32_t ri = row_offsets[y]; ri < row_offsets[y + 1]; ++ri) {
+            const Run& r = all_runs[ri];
+            if (size[uf_find(parent, r.id)] < min_size) continue;
+            int32_t es = (r.s == 0) ? 0 : r.s + h_lead;
+            int32_t ee = (r.e == w) ? w : r.e - h_trail;
+            if (es >= ee) continue;
+            int32_t ds = std::max(0, es - h_trail);
+            int32_t de = std::min(w, ee + h_lead);
+            // fragments of [ds, de) where out_v is clear
+            int32_t fx = ds;
+            while (fx < de) {
+                if (vrow[fx]) { ++fx; continue; }
+                int32_t fs = fx;
+                while (fx < de && !vrow[fx]) ++fx;
+                int32_t fe = fx;   // fragment [fs, fe)
+                int32_t es2 = (fs == 0) ? 0 : fs + n_lead;
+                int32_t ee2 = (fe == w) ? w : fe - n_trail;
+                if (es2 < ee2) {
+                    int32_t ds2 = std::max(0, es2 - n_trail);
+                    int32_t de2 = std::min(w, ee2 + n_lead);
+                    std::memset(hrow + ds2, 255, de2 - ds2);
+                }
+            }
+        }
+    }
+}
+
+// 8-connected CC over row runs (union-find); merges run r with prev-row
+// run p iff their column ranges touch after expanding r by one on both
+// sides (ps <= e && pe >= s).
+struct RunCC {
+    std::vector<Run> all_runs;
+    std::vector<int32_t> row_offsets;
     std::vector<int32_t> parent;
     std::vector<int64_t> size;
-    std::vector<Run> all_runs;
-    all_runs.reserve(1024);
-    std::vector<int32_t> row_offsets(h + 1, 0);
+    std::vector<Run> prev, cur;
 
-    for (int32_t y = 0; y < h; ++y) {
-        cur.clear();
-        const uint8_t* row = binary + (int64_t)y * w;
-        int32_t x = 0;
-        while (x < w) {
-            if (!row[x]) { ++x; continue; }
-            int32_t s = x;
-            while (x < w && row[x]) ++x;
-            int32_t id = (int32_t)parent.size();
-            parent.push_back(id);
-            size.push_back(x - s);
-            cur.push_back({s, x, id});
-        }
-        // merge with the previous row: 8-connectivity joins run [s, e)
-        // with prev run [ps, pe) iff ps <= e && pe >= s (column ranges
-        // touch after expanding the current run by one on both sides)
+    void begin(int32_t h) {
+        all_runs.reserve(1024);
+        row_offsets.assign(1, 0);
+        row_offsets.reserve(h + 1);
+    }
+    void add_run(int32_t s, int32_t e) {
+        int32_t id = (int32_t)parent.size();
+        parent.push_back(id);
+        size.push_back(e - s);
+        cur.push_back({s, e, id});
+    }
+    void end_row() {
         size_t pi = 0;
         for (const Run& r : cur) {
             while (pi < prev.size() && prev[pi].e < r.s) ++pi;
@@ -779,41 +893,78 @@ void gk_separator_post(const uint8_t* binary, int32_t h, int32_t w,
             }
         }
         for (const Run& r : cur) all_runs.push_back(r);
-        row_offsets[y + 1] = (int32_t)all_runs.size();
+        row_offsets.push_back((int32_t)all_runs.size());
         prev.swap(cur);
+        cur.clear();
     }
+};
 
-    // cleaned mask: survivors of the size filter
-    std::vector<uint8_t> cleaned((size_t)h * w, 0);
+}  // namespace seppost
+
+void gk_separator_post(const uint8_t* binary, int32_t h, int32_t w,
+                       int32_t min_size, int32_t h_kernel, int32_t v_kernel,
+                       int32_t noise_kernel, uint8_t* out_h, uint8_t* out_v) {
+    seppost::RunCC cc;
+    cc.begin(h);
     for (int32_t y = 0; y < h; ++y) {
-        uint8_t* row = cleaned.data() + (int64_t)y * w;
-        for (int32_t ri = row_offsets[y]; ri < row_offsets[y + 1]; ++ri) {
-            const Run& r = all_runs[ri];
-            if (size[uf_find(parent, r.id)] >= min_size)
-                std::memset(row + r.s, 255, r.e - r.s);
+        const uint8_t* row = binary + (int64_t)y * w;
+        int32_t x = 0;
+        while (x < w) {
+            if (!row[x]) { ++x; continue; }
+            int32_t s = x;
+            while (x < w && row[x]) ++x;
+            cc.add_run(s, x);
         }
+        cc.end_row();
     }
+    seppost::post_from_runs(cc.all_runs, cc.row_offsets, cc.parent, cc.size,
+                            h, w, min_size, h_kernel, v_kernel, noise_kernel,
+                            out_h, out_v);
+}
 
-    // horizontal opening (kernel h_kernel x 1) -> out_h
-    std::memset(out_h, 0, (size_t)h * w);
-    for (int32_t y = 0; y < h; ++y)
-        open_line_runs(cleaned.data() + (int64_t)y * w,
-                       out_h + (int64_t)y * w, w, 1, h_kernel);
-    // vertical opening (1 x v_kernel) -> out_v
-    std::memset(out_v, 0, (size_t)h * w);
-    for (int32_t x = 0; x < w; ++x)
-        open_line_runs(cleaned.data() + x, out_v + x, h, w, v_kernel);
-    // saturated subtract: {0,255} masks -> h &= ~v
-    for (int64_t i = 0; i < (int64_t)h * w; ++i)
-        if (out_v[i]) out_h[i] = 0;
-    // noise opening along rows, in place (runs re-read before rewrite)
-    std::vector<uint8_t> line(w);
+// Packed-bits variant: ``packed`` is np.packbits(mask, axis=1) output —
+// h rows of ``stride`` bytes, MSB-first within each byte (numpy default),
+// bit x of row y at packed[y*stride + x/8] >> (7 - x%8). Lets the caller
+// skip materializing the dense binary entirely (the device sends packed
+// masks over the wire); zero bytes short-circuit 8 columns at a time.
+void gk_separator_post_packed(const uint8_t* packed, int32_t h, int32_t w,
+                              int32_t stride, int32_t min_size,
+                              int32_t h_kernel, int32_t v_kernel,
+                              int32_t noise_kernel,
+                              uint8_t* out_h, uint8_t* out_v) {
+    seppost::RunCC cc;
+    cc.begin(h);
     for (int32_t y = 0; y < h; ++y) {
-        uint8_t* row = out_h + (int64_t)y * w;
-        std::memcpy(line.data(), row, w);
-        std::memset(row, 0, w);
-        open_line_runs(line.data(), row, w, 1, noise_kernel);
+        const uint8_t* row = packed + (int64_t)y * stride;
+        int32_t run_s = -1;
+        for (int32_t bi = 0; bi < stride; ++bi) {
+            uint8_t b = row[bi];
+            int32_t base = bi * 8;
+            if (b == 0x00) {
+                if (run_s >= 0) { cc.add_run(run_s, std::min(base, w)); run_s = -1; }
+                continue;
+            }
+            if (b == 0xFF) {
+                if (run_s < 0) run_s = base;
+                continue;
+            }
+            for (int32_t k = 0; k < 8; ++k) {
+                int32_t x = base + k;
+                bool set = (b >> (7 - k)) & 1;
+                if (set && x < w) {
+                    if (run_s < 0) run_s = x;
+                } else if (run_s >= 0) {
+                    cc.add_run(run_s, std::min(x, w));
+                    run_s = -1;
+                }
+            }
+        }
+        if (run_s >= 0) cc.add_run(run_s, w);
+        cc.end_row();
     }
+    seppost::post_from_runs(cc.all_runs, cc.row_offsets, cc.parent, cc.size,
+                            h, w, min_size, h_kernel, v_kernel, noise_kernel,
+                            out_h, out_v);
 }
 
 // normalization utility: returns total output points; out buffers sized by

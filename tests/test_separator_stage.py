@@ -310,6 +310,12 @@ def test_native_post_matches_device_chain():
         nh, nv = separator_post_native(m, ms, hk, vk, nk)
         assert (nv == np.asarray(dv)).all(), (trial, hk, vk, nk, ms)
         assert (nh == np.asarray(dh)).all(), (trial, hk, vk, nk, ms)
+        # packed-bits entry point (what the drain feeds straight from the
+        # device readback): identical to the dense entry point
+        from citlab_as_tpu.geometry.native import separator_post_native_packed
+        packed = np.packbits(m > 0, axis=1)
+        ph, pv = separator_post_native_packed(packed, w, ms, hk, vk, nk)
+        assert (ph == nh).all() and (pv == nv).all(), (trial, hk, vk, nk, ms)
 
 
 def test_fused_native_mode_matches_device_mode(tmp_path, monkeypatch):
