@@ -212,8 +212,12 @@ def _chain_rings_fast(mask: np.ndarray, labels=None
 
     # one sparse foreground scan + neighbor gathers at those K points —
     # building a full-frame boolean selector per direction (8 H x W
-    # temporaries + 4 scans) dominated this function on sparse masks
-    frs, fcs = np.nonzero(mask)
+    # temporaries + 4 scans) dominated this function on sparse masks;
+    # the scan itself goes through the C kernel when available
+    # (np.nonzero's two generic passes cost ~3.5 ms/page on this host)
+    from citlab_as_tpu.geometry.native import nonzero2d_native
+    rc = nonzero2d_native(mask)
+    frs, fcs = rc if rc is not None else np.nonzero(mask)
     flabs = (labels[frs, fcs] if labels is not None
              else np.zeros(frs.shape[0], np.int32))
     nb_top = padded[frs, fcs + 1]
