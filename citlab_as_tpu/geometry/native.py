@@ -84,6 +84,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.gk_nonzero_u8.argtypes = [u8, ctypes.c_int32, ctypes.c_int32,
                                   ip, ip, ctypes.c_int64]
     lib.gk_nonzero_u8.restype = ctypes.c_int64
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.gk_line_stats.argtypes = [u8, ctypes.c_int32, ctypes.c_int32,
+                                  ip, ctypes.c_int32, ctypes.c_int32, fp]
     _lib = lib
     logger.info("Loaded native geometry kernel from %s", _LIB_PATH)
     return _lib
@@ -229,6 +232,31 @@ def nonzero2d_native(mask: np.ndarray,
     if got != n:          # count raced a caller mutation; fall back
         return None
     return rows, cols
+
+
+def line_stats_native(dt: np.ndarray, boxes: np.ndarray,
+                      clean_ccs: int = 2) -> Optional[np.ndarray]:
+    """[L, 2] float32 (stroke_width, text_height) per line bbox via
+    gk_line_stats — the host-native twin of the device per-line SWT
+    feature program (ops/swt_device.py), with
+    StrokeWidthDistanceTransform.textline_features semantics
+    (heading_net_post_processor.py:218-245). ``dt`` [H, W] uint8,
+    ``boxes`` [L, 4] int32 (x, y, w, h); rows with w<0 or h<0 yield
+    zeros. None when the kernel is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(np.asarray(dt), np.uint8)
+    b = np.ascontiguousarray(np.asarray(boxes), np.int32)
+    if b.ndim != 2 or b.shape[1] != 4:
+        raise ValueError("boxes must be [L, 4]")
+    out = np.zeros((len(b), 2), np.float32)
+    h, w = d.shape
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.gk_line_stats(d.ctypes.data_as(u8), h, w, _ip(b), len(b),
+                      int(clean_ccs), out.ctypes.data_as(fp))
+    return out
 
 
 def delaunay_native(points: np.ndarray) -> Optional[np.ndarray]:

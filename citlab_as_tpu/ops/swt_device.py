@@ -734,7 +734,34 @@ class DeviceLineFeatures:
         # the 48x512 bucket, probe_device_times round 4) — same relay-safe
         # program shape (no lax.map, no runtime dynamic_slice)
         mode = _os.environ.get("CITLAB_SWT_EXTRACT", "gather2")
-        if mode in ("gather", "gather2"):
+        native_stats = False
+        if mode == "native":
+            from citlab_as_tpu.geometry.native import native_available
+            if native_available():
+                native_stats = True
+            else:
+                mode = "gather2"
+        if native_stats:
+            # round-4 mode: the per-line CC stats run on the HOST in the
+            # native C kernel (geometry/native.line_stats_native, exact twin
+            # of the device program) against the DT image read back over the
+            # prefetch path (the heading stage enqueues the async copy right
+            # behind the fused program, so the ~1.5 MB/page ride the
+            # otherwise-idle wire during the wave). Device keeps only the
+            # tiny net-prob SAT program: ~46 ms/page of device fixpoint time
+            # becomes ~1.5 ms/page of host time.
+            nb_dev = jnp.asarray(nb)
+            sb_dev = dt_s = None
+            prob_s = prob_dev if b == prob_dev.shape[0] else prob_dev[:b]
+            ph, pw = int(prob_dev.shape[1]), int(prob_dev.shape[2])
+            packed_dev = sw_th_dev = None
+            if 255 * ph * pw < 2 ** 31:
+                sums_dev = net_prob_sums_batch_sat(prob_s, nb_dev)
+            else:   # SAT would overflow int32 on huge pages
+                sums_dev = net_prob_sums_batch(prob_s, nb_dev,
+                                               crop_h=self._net_crop[0],
+                                               crop_w=self._net_crop[1])
+        elif mode in ("gather", "gather2"):
             # gather/SAT formulation: no lax.map, no runtime-index
             # dynamic_slice — the program shape whose second cached
             # execution the axon relay poisons (ROUND3_NOTES.md). Only the
@@ -803,6 +830,32 @@ class DeviceLineFeatures:
             _prefetch(packed_dev)
         else:
             _prefetch(sw_th_dev, sums_dev)
+
+        if native_stats:
+            def materialize_native():
+                from citlab_as_tpu.geometry.native import line_stats_native
+                if _os.environ.get("CITLAB_SWT_BARRIER", "0") == "1":
+                    _barrier(sums_dev)
+                sums = np.asarray(sums_dev, np.float64)
+                # the FULL (padded) dt batch: its async copy was enqueued at
+                # fused_dispatch time, so this np.asarray normally just
+                # collects already-landed bytes (np.asarray of a [:b] slice
+                # would be a fresh transfer, not the prefetched one)
+                dt_np = np.asarray(dt_dev)
+                out = []
+                for i, n in enumerate(counts):
+                    denom = (nb[i, :n, 2].astype(np.float64)
+                             * nb[i, :n, 3] * 255.0)
+                    netp = np.where(
+                        (nb[i, :n, 2] > 0) & (nb[i, :n, 3] > 0),
+                        sums[i, :n] / np.where(denom != 0, denom, 1.0), 0.0)
+                    sw_th = (line_stats_native(dt_np[i], sb[i, :n])
+                             if n else np.zeros((0, 2), np.float32))
+                    netp[~svalids[i]] = 0.0
+                    sw_th[~svalids[i]] = 0.0
+                    out.append((netp, sw_th))
+                return out
+            return materialize_native
 
         def materialize():
             # gather mode: force the chain to completion on a quiet queue

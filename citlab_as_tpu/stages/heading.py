@@ -417,7 +417,22 @@ class HeadingNetPostProcessor:
             maps_u8, dt_u8 = out, None
         from citlab_as_tpu.ops.device_hold import hold
         hold(batch, maps_u8, dt_u8)
+        if dt_u8 is not None and self._native_line_stats():
+            # native per-line stats mode: the host kernel needs the DT image
+            # — enqueue its device->host copy right behind the fused program
+            # so the ~1.5 MB/page ride the wire during this group's own wave
+            # instead of stalling the heading drain two waves later
+            from citlab_as_tpu.utils.async_copy import prefetch
+            prefetch(dt_u8)
         return (chunk, maps_u8, dt_u8, orig)
+
+    @staticmethod
+    def _native_line_stats() -> bool:
+        import os
+        if os.environ.get("CITLAB_SWT_EXTRACT", "gather2") != "native":
+            return False
+        from citlab_as_tpu.geometry.native import native_available
+        return native_available()
 
     def fused_drain_dispatch(self, entry):
         """First half of the drain: on the device-SWT path, per page the

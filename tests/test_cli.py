@@ -245,12 +245,21 @@ def test_full_workflow_pipelined_forced_matches_sequential(tmp_path):
         assert normalized(a) == normalized(b), f"{a} differs"
 
 
-def test_full_workflow_pipelined_device_swt_matches_sequential(tmp_path):
+@pytest.mark.parametrize("extract_mode", ["gather2", "native"])
+def test_full_workflow_pipelined_device_swt_matches_sequential(
+        tmp_path, extract_mode, monkeypatch):
     """The PRODUCTION on-chip shape — wave loop + heading device-SWT
     per-line feature programs (fused_drain_dispatch staging) — forced onto
     the CPU backend and byte-compared against the sequential driver with
     the host SWT path. Tags (hence bytes) must match: the device per-line
-    features are pinned bit-exact to the host ones in test_swt_device."""
+    features are pinned bit-exact to the host ones in test_swt_device.
+    ``native`` runs the round-4 host-C per-line stats over the
+    prefetched DT readback (geometry/native.line_stats_native)."""
+    monkeypatch.setenv("CITLAB_SWT_EXTRACT", extract_mode)
+    if extract_mode == "native":
+        from citlab_as_tpu.geometry.native import native_available
+        if not native_available():
+            pytest.skip("native kernel unavailable")
     import re
     import shutil
     import sys

@@ -139,7 +139,31 @@ def test_net_prob_sums_batch_sat_matches_map():
                 np.int64).sum()
 
 
-@pytest.mark.parametrize("mode", ["gather", "gather2", "map"])
+def test_line_stats_native_matches_host():
+    """The C kernel's per-line stats (gk_line_stats) are bit-equal to the
+    host scipy path — including cleaning rules, inclusive-crop clipping and
+    invalid (w<0) rows."""
+    from citlab_as_tpu.geometry.native import line_stats_native, native_available
+    if not native_available():
+        pytest.skip("native kernel unavailable")
+    swt = StrokeWidthDistanceTransform(dark_on_bright=True)
+    for seed in range(4):
+        rng = np.random.RandomState(seed)
+        dt = _random_dt(rng, 300, 400)
+        dt[100:130, 50:330] = 2   # aspect > 8 -> cleaned
+        boxes = _random_boxes(rng, 300, 400, 30)
+        boxes += [(0, 0, 399, 299),       # whole image
+                  (380, 290, 100, 100),   # overshoots both edges
+                  (-1, -1, -1, -1),       # invalid marker
+                  (5, 5, 0, 0)]           # degenerate (1x1 inclusive crop)
+        boxes = np.asarray(boxes, np.int32)
+        host = np.array([swt.textline_features(dt, tuple(b))
+                         if b[2] >= 0 else (0.0, 0.0) for b in boxes])
+        nat = line_stats_native(dt, boxes)
+        np.testing.assert_allclose(nat, host, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["gather", "gather2", "map", "native"])
 def test_device_line_features_bridge_modes(mode, monkeypatch):
     """Both extraction modes of the bridge (gather default / legacy map
     chain) produce identical per-line features."""
