@@ -87,6 +87,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     fp = ctypes.POINTER(ctypes.c_float)
     lib.gk_line_stats.argtypes = [u8, ctypes.c_int32, ctypes.c_int32,
                                   ip, ctypes.c_int32, ctypes.c_int32, fp]
+    lib.gk_cluster_features.argtypes = [
+        dp, ip, ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+        ctypes.c_double, dp, dp]
     _lib = lib
     logger.info("Loaded native geometry kernel from %s", _LIB_PATH)
     return _lib
@@ -232,6 +235,27 @@ def nonzero2d_native(mask: np.ndarray,
     if got != n:          # count raced a caller mutation; fall back
         return None
     return rows, cols
+
+
+def cluster_features_native(polys: Sequence[Polygon], des_dist: int,
+                            max_d: float, target_avg: float
+                            ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(interline distances [N], normed bboxes [N, 4] x/y/w/h) for the
+    baseline-clustering stage in ONE C call (gk_cluster_features) — the
+    normalize -> measure -> rescale-to-target -> re-normalize -> re-measure
+    chain of DBSCANBaselines.__init__ without materializing any intermediate
+    Polygon. None when the kernel is unavailable."""
+    lib = get_lib()
+    if lib is None or not polys:
+        return None
+    coords, offsets = _pack(polys)
+    n = len(polys)
+    out_d = np.empty(n, np.float64)
+    out_bb = np.empty((n, 4), np.float64)
+    lib.gk_cluster_features(_dp(coords), _ip(offsets), n, int(des_dist),
+                            float(max_d), float(target_avg),
+                            _dp(out_d), _dp(out_bb))
+    return out_d, out_bb
 
 
 def line_stats_native(dt: np.ndarray, boxes: np.ndarray,

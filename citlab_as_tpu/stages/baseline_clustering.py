@@ -81,30 +81,46 @@ class DBSCANBaselines:
                  rectangle_interline_factor: float = 1.25,
                  des_dist: int = 5, max_d: int = 500,
                  target_average_interline_distance: int = 50):
-        distances = get_list_of_interline_distances(
-            list_of_polygons, des_dist=des_dist, max_d=max_d)
-        positive = [d for d in distances if d > 0]
-
-        if target_average_interline_distance > 0 and positive:
-            avg = sum(positive) / len(positive)
-            scale_fac = target_average_interline_distance / avg
-            scaled = get_list_of_scaled_polygons(list_of_polygons, scale_fac)
-            distances = get_list_of_interline_distances(
-                scaled, des_dist=des_dist, max_d=max_d)
+        from citlab_as_tpu.geometry.native import cluster_features_native
+        feats = cluster_features_native(
+            list(list_of_polygons), des_dist, max_d,
+            target_average_interline_distance)
+        self._bboxes = None
+        if feats is not None:
+            # fused native pass: the whole normalize -> measure -> rescale ->
+            # re-normalize -> re-measure chain in one C call; only the final
+            # distances + normed bboxes (all the adjacency rule needs) come
+            # back — no intermediate Polygon objects
+            distances, self._bboxes = feats
             positive = [d for d in distances if d > 0]
             self.avg = sum(positive) / (len(positive) + 1e-8)
-            self.list_of_normed_polygons = norm_poly_dists(scaled, des_dist=des_dist)
+            self.list_of_normed_polygons = None
+            n = len(distances)
         else:
-            self.avg = sum(positive) / (len(positive) + 1e-8)
-            self.list_of_normed_polygons = norm_poly_dists(
-                list(list_of_polygons), des_dist=des_dist)
+            distances = get_list_of_interline_distances(
+                list_of_polygons, des_dist=des_dist, max_d=max_d)
+            positive = [d for d in distances if d > 0]
+
+            if target_average_interline_distance > 0 and positive:
+                avg = sum(positive) / len(positive)
+                scale_fac = target_average_interline_distance / avg
+                scaled = get_list_of_scaled_polygons(list_of_polygons, scale_fac)
+                distances = get_list_of_interline_distances(
+                    scaled, des_dist=des_dist, max_d=max_d)
+                positive = [d for d in distances if d > 0]
+                self.avg = sum(positive) / (len(positive) + 1e-8)
+                self.list_of_normed_polygons = norm_poly_dists(scaled, des_dist=des_dist)
+            else:
+                self.avg = sum(positive) / (len(positive) + 1e-8)
+                self.list_of_normed_polygons = norm_poly_dists(
+                    list(list_of_polygons), des_dist=des_dist)
+            n = len(self.list_of_normed_polygons)
         self.list_of_interline_distances = list(distances)
 
         self.fac = rectangle_interline_factor
         self.min_polygons_for_cluster = min_polygons_for_cluster
         self.min_polygons_for_article = min_polygons_for_article
-
-        n = len(self.list_of_normed_polygons)
+        self._n = n
         self.list_of_labels = [0] * n
         self.list_if_center = [False] * n
         self._adjacency = self._build_adjacency()
@@ -114,16 +130,20 @@ class DBSCANBaselines:
     def _build_adjacency(self) -> List[np.ndarray]:
         """Vectorized pairwise neighborhood matrix (region_query semantics,
         dbscan_baselines.py:255-307)."""
-        n = len(self.list_of_normed_polygons)
+        n = self._n
         if n == 0:
             return []
-        bx = np.empty(n)
-        by = np.empty(n)
-        bw = np.empty(n)
-        bh = np.empty(n)
-        for i, p in enumerate(self.list_of_normed_polygons):
-            b = p.get_bounding_box()
-            bx[i], by[i], bw[i], bh[i] = b.x, b.y, b.width, b.height
+        if self._bboxes is not None:    # fused native pass
+            bx, by, bw, bh = (np.ascontiguousarray(self._bboxes[:, k])
+                              for k in range(4))
+        else:
+            bx = np.empty(n)
+            by = np.empty(n)
+            bw = np.empty(n)
+            bh = np.empty(n)
+            for i, p in enumerate(self.list_of_normed_polygons):
+                b = p.get_bounding_box()
+                bx[i], by[i], bw[i], bh[i] = b.x, b.y, b.width, b.height
 
         d = np.asarray(self.list_of_interline_distances, dtype=np.float64)
         clamped = np.where((d < 0.5 * self.avg) | (d > 1.5 * self.avg), self.avg, d)
@@ -159,7 +179,7 @@ class DBSCANBaselines:
     def clustering_polygons(self) -> None:
         """Classic DBSCAN outer loop (dbscan_baselines.py:179-203)."""
         label = 0
-        for idx in range(len(self.list_of_normed_polygons)):
+        for idx in range(self._n):
             if self.list_of_labels[idx] != 0:
                 continue
             neighbors = self.region_query(idx)

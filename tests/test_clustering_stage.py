@@ -57,6 +57,54 @@ def test_min_polygons_for_article():
     assert labels[6] == -1  # noise stays noise
 
 
+def test_fused_cluster_features_matches_stepwise():
+    """The one-call native feature pass (gk_cluster_features) reproduces the
+    stepwise chain (norm -> interline -> rescale -> re-norm -> re-measure)
+    exactly: same distances, same bboxes, same final labels — on a fabricated
+    page with mixed line lengths, a degenerate loner and a sloped baseline."""
+    from citlab_as_tpu.geometry.native import (
+        cluster_features_native, native_available)
+    from citlab_as_tpu.geometry.polygon import norm_poly_dists
+    from citlab_as_tpu.stages.baseline_clustering import (
+        get_list_of_interline_distances)
+    if not native_available():
+        pytest.skip("native kernel unavailable")
+    polys = (_column(50, 400, 100, 6, 47)
+             + _column(600, 950, 90, 5, 63)
+             + [Polygon([100, 300, 500], [2000, 2010, 2005]),
+                Polygon([700, 710], [2500, 2500])])
+    d_f, bb_f = cluster_features_native(polys, 5, 500, 50)
+
+    d0 = get_list_of_interline_distances(polys, des_dist=5, max_d=500)
+    pos = [d for d in d0 if d > 0]
+    from citlab_as_tpu.stages.baseline_clustering import (
+        get_list_of_scaled_polygons)
+    scaled = get_list_of_scaled_polygons(polys, 50 / (sum(pos) / len(pos)))
+    d1 = get_list_of_interline_distances(scaled, des_dist=5, max_d=500)
+    np.testing.assert_array_equal(d_f, d1)
+    normed = norm_poly_dists(scaled, des_dist=5)
+    for i, p in enumerate(normed):
+        b = p.get_bounding_box()
+        assert tuple(bb_f[i]) == (b.x, b.y, b.width, b.height)
+
+    obj = DBSCANBaselines(polys)
+    assert obj._bboxes is not None   # fused path actually taken
+    obj.clustering_polygons()
+    labels_fast = obj.get_cluster_of_polygons()
+
+    import citlab_as_tpu.geometry.native as gn
+    saved = (gn._lib, gn._load_attempted)
+    gn._lib, gn._load_attempted = None, True
+    try:
+        obj2 = DBSCANBaselines(polys)
+        assert obj2._bboxes is None  # fallback path
+        obj2.clustering_polygons()
+        labels_slow = obj2.get_cluster_of_polygons()
+    finally:
+        gn._lib, gn._load_attempted = saved
+    assert labels_fast == labels_slow
+
+
 def test_dbscan_object_centers():
     col = _column(50, 400, 100, 6, 60)
     obj = DBSCANBaselines(col)
