@@ -61,6 +61,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int32)
+    lib.gk_interline_distances.argtypes = [
+        dp, ip, ctypes.c_int32, ctypes.c_int32, ctypes.c_double, dp]
     lib.gk_interline_distances_normed.argtypes = [
         dp, ip, ctypes.c_int32, ctypes.c_int32, ctypes.c_double, dp]
     lib.gk_calc_tols.argtypes = [
@@ -158,6 +160,42 @@ def norm_poly_dists_native(poly_list: Sequence[Polygon],
         poly.get_bounding_box()
         res.append(poly)
     return res
+
+
+def norm_poly_dists_packed(poly_list: Sequence[Polygon], des_dist: int
+                           ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Packed-array variant of :func:`norm_poly_dists_native`: returns
+    (coords [total, 2] float64 of integral values, offsets [n+1] int32)
+    without materializing per-polygon Polygon objects — for callers that
+    consume the normalized points as arrays (e.g. the textregion stage's
+    shifted clouds). None when the kernel is unavailable."""
+    lib = get_lib()
+    if lib is None or not poly_list:
+        return None
+    coords, offsets = _pack(poly_list)
+    total = lib.gk_norm_poly_sizes(_dp(coords), _ip(offsets),
+                                   len(poly_list), des_dist)
+    out_coords = np.empty((total, 2), np.float64)
+    out_offsets = np.empty(len(poly_list) + 1, np.int32)
+    lib.gk_norm_poly_dists(_dp(coords), _ip(offsets), len(poly_list),
+                           des_dist, _dp(out_coords), _ip(out_offsets))
+    return out_coords, out_offsets
+
+
+def interline_distances_raw_native(poly_list: Sequence[Polygon],
+                                   des_dist: int, max_d: float
+                                   ) -> Optional[np.ndarray]:
+    """Interline distances straight from RAW polygons (gk_interline_distances
+    normalizes internally at ``des_dist``) — one C call instead of
+    norm_poly_dists + interline_distances_native."""
+    lib = get_lib()
+    if lib is None or not poly_list:
+        return None
+    coords, offsets = _pack(poly_list)
+    out = np.empty(len(poly_list), np.float64)
+    lib.gk_interline_distances(_dp(coords), _ip(offsets), len(poly_list),
+                               int(des_dist), float(max_d), _dp(out))
+    return out
 
 
 def separator_post_native(binary: np.ndarray, min_size: int, h_kernel: int,

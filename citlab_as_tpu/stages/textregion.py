@@ -135,11 +135,86 @@ def save_results_in_pagexml(path_to_pagexml: str, text_region_txtline_dict: dict
     page_file.write_page_xml(path_to_pagexml)
 
 
+def _create_regions_fast(path_to_pagexml: str, des_dist: int, max_d: int,
+                         alpha: float):
+    """Packed-array twin of get_data_from_pagexml + create_text_regions:
+    the normalized baselines stay (coords, offsets) arrays straight from the
+    native kernel (no per-line Polygon objects), the shifted clouds are two
+    numpy ops, and the interline distances come from ONE C call on the raw
+    polygons. Point order is identical to the list path (normed points then
+    shifted copies, lines in article order), so the alpha-shape boundaries —
+    hence the written XML — are bit-identical. Returns the region dict, or
+    None when the native kernel is unavailable (callers fall back)."""
+    from citlab_as_tpu.geometry.native import (
+        interline_distances_raw_native, norm_poly_dists_packed)
+
+    page_file = Page(path_to_pagexml)
+    art_dict = page_file.get_article_dict()
+
+    polys, txtlines = [], []
+    for txtline in page_file.textlines:   # snapshot: same objects as art_dict
+        if txtline.baseline is None:
+            continue
+        baseline = txtline.baseline.to_polygon()
+        if baseline.n_points > 1:
+            polys.append(baseline)
+            txtlines.append(txtline)
+
+    clouds = {}
+    if polys:
+        dists = interline_distances_raw_native(polys, 5, max_d)
+        packed = norm_poly_dists_packed(polys, des_dist)
+        if dists is None or packed is None:
+            return None
+        nc, noff = packed
+        for i, txtline in enumerate(txtlines):
+            nci = nc[noff[i]:noff[i + 1]].astype(np.int64)
+            y_shift = max(int(0.95 * dists[i]), 1)
+            shifted = nci + np.asarray([1, -y_shift])
+            clouds[txtline.id] = np.concatenate([nci, shifted])
+            if txtline.surr_p is None:
+                sp = np.concatenate([nci, shifted[::-1]])
+                txtline.surr_p = Points([(int(x), int(y)) for x, y in sp])
+
+    out: Dict[str, tuple] = {}
+    counter = 0
+
+    def boundary_of(points: np.ndarray) -> List[list]:
+        boundary = alpha_shape(points, alpha=alpha)
+        return [[int(c) for c in p] for p in boundary]
+
+    for article_id, arts in art_dict.items():
+        if article_id is None:
+            for txtline in arts:
+                cloud = clouds.get(txtline.id)
+                if cloud is None:
+                    continue
+                out[f"tr_{counter}"] = (boundary_of(cloud), [txtline], counter)
+                counter += 1
+        else:
+            arrs, lst = [], []
+            for txtline in arts:
+                cloud = clouds.get(txtline.id)
+                if cloud is None:
+                    continue
+                lst.append(txtline)
+                arrs.append(cloud)
+            if not arrs:
+                continue
+            out[f"tr_{counter}"] = (boundary_of(np.concatenate(arrs)),
+                                    lst, counter)
+            counter += 1
+    return out
+
+
 def generate_text_regions_for_page(path_to_pagexml: str, des_dist: int = 50,
                                    max_d: int = 100, alpha: float = 75) -> dict:
     """Full per-page flow (the run_textregion_generation per-file unit)."""
-    art_dict, txtline_dict = get_data_from_pagexml(
-        path_to_pagexml, des_dist=des_dist, max_d=max_d)
-    region_dict = create_text_regions(art_dict, txtline_dict, alpha=alpha)
+    region_dict = _create_regions_fast(path_to_pagexml, des_dist=des_dist,
+                                       max_d=max_d, alpha=alpha)
+    if region_dict is None:
+        art_dict, txtline_dict = get_data_from_pagexml(
+            path_to_pagexml, des_dist=des_dist, max_d=max_d)
+        region_dict = create_text_regions(art_dict, txtline_dict, alpha=alpha)
     save_results_in_pagexml(path_to_pagexml, region_dict)
     return region_dict

@@ -181,6 +181,34 @@ def test_text_region_generation_end_to_end(tmp_path):
                 assert bb.y - 5 <= y <= bb.y + bb.height + 5
 
 
+def test_textregion_fast_path_matches_list_path(tmp_path):
+    """The packed-array fast path (_create_regions_fast) writes byte-identical
+    XML to the original Polygon-list path on a clustered page (same clouds,
+    same alpha-shape boundaries, same reading order)."""
+    import re
+    from citlab_as_tpu.stages import textregion as tr
+    from citlab_as_tpu.geometry.native import native_available
+    if not native_available():
+        pytest.skip("native kernel unavailable")
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    pa = _write_two_column_page(tmp_path / "a")
+    pb = _write_two_column_page(tmp_path / "b")
+    cluster_page(pa)
+    cluster_page(pb)
+    rd_fast = tr.generate_text_regions_for_page(pa)
+    assert rd_fast  # fast path produced regions
+    art, tld = tr.get_data_from_pagexml(pb, des_dist=50, max_d=100)
+    rd_old = tr.create_text_regions(art, tld, alpha=75)
+    tr.save_results_in_pagexml(pb, rd_old)
+    assert set(rd_fast.keys()) == set(rd_old.keys())
+
+    def norm(p):
+        return re.sub(rb"<LastChange>[^<]*</LastChange>", b"",
+                      open(p, "rb").read())
+    assert norm(pa) == norm(pb)
+
+
 def test_none_article_lines_become_singletons(tmp_path):
     lines = [LINE_TPL.format(i=0, x0=50, x1=400, y=100, yt=60, yb=110)]
     p = tmp_path / "page.xml"
