@@ -68,10 +68,71 @@ def _driver():
     driver is production shape AND bench default, closing round-3's
     weak #3). CITLAB_BENCH_DRIVER=sequential opts back out."""
     from citlab_as_tpu.cli import run_full_workflow as m
-    if os.environ.get("CITLAB_BENCH_DRIVER") == "sequential":
+    from citlab_as_tpu.config import runtime
+    if runtime.get("bench_driver") == "sequential":
         return m.run_full_workflow
     import functools
     return functools.partial(m.run_full_workflow_pipelined, force=True)
+
+
+class HostLoadMonitor:
+    """Samples 1-min load average + running-process count before and during
+    the timed run so contention is machine-detectable in the BENCH JSON
+    (round-4 weak #2: identical code read 9.16 vs 15.33 pages/s depending
+    on host neighbours; 'quiet host' was tribal knowledge). The host is
+    judged quiet when the peak load stays below ~1.5 on this 1-core box —
+    i.e. nothing beyond the bench itself plus scheduler noise."""
+
+    QUIET_LOAD = 1.5
+
+    def __init__(self):
+        self.samples = []
+        self._stop = None
+        self._thread = None
+
+    @staticmethod
+    def _sample():
+        load1 = os.getloadavg()[0]
+        try:
+            with open("/proc/stat") as f:
+                procs_running = next(
+                    (int(line.split()[1]) for line in f
+                     if line.startswith("procs_running")), -1)
+        except OSError:
+            procs_running = -1
+        return {"load1": round(load1, 2), "procs_running": procs_running}
+
+    def __enter__(self):
+        import threading
+        self.samples.append(self._sample())
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.wait(5.0):
+                self.samples.append(self._sample())
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        self.samples.append(self._sample())
+        return False
+
+    def report(self) -> dict:
+        peak = max(s["load1"] for s in self.samples)
+        quiet = peak < self.QUIET_LOAD
+        if not quiet:
+            print(f"bench: WARNING host contended during the timed run "
+                  f"(peak load1={peak}, threshold {self.QUIET_LOAD}) — "
+                  f"the number below may be depressed by neighbours",
+                  file=sys.stderr, flush=True)
+        return {"host_quiet": quiet, "load1_peak": peak,
+                "load1_samples": [s["load1"] for s in self.samples],
+                "procs_running_peak": max(s["procs_running"]
+                                          for s in self.samples)}
 
 
 def bench_e2e():
@@ -90,15 +151,16 @@ def bench_e2e():
         gnn_predictor=gnn, batch_size=BATCH)
     timed_pages = image_paths[BATCH:]
     timings = {}
-    t0 = time.perf_counter()
-    run_full_workflow(
-        timed_pages, out_dir="/tmp/bench_repo_e2e/out",
-        separator_predictor=sep, heading_predictor=head,
-        gnn_predictor=gnn, batch_size=BATCH, timings=timings)
-    total = time.perf_counter() - t0
+    with HostLoadMonitor() as mon:
+        t0 = time.perf_counter()
+        run_full_workflow(
+            timed_pages, out_dir="/tmp/bench_repo_e2e/out",
+            separator_predictor=sep, heading_predictor=head,
+            gnn_predictor=gnn, batch_size=BATCH, timings=timings)
+        total = time.perf_counter() - t0
     stages = {k: round(v / PAGES, 3) for k, v in sorted(timings.items())}
     stages["total_s_per_page"] = round(total / PAGES, 3)
-    return PAGES / total, stages
+    return PAGES / total, stages, mon.report()
 
 
 def bench_e2e_fresh_process(n_pages: int):
@@ -113,15 +175,16 @@ def bench_e2e_fresh_process(n_pages: int):
     image_paths = _make_pages("/tmp/bench_repo_e2e_fb", n_pages)
     sep, head, gnn = _make_predictors()
     timings = {}
-    t0 = time.perf_counter()
-    run_full_workflow(
-        image_paths, out_dir="/tmp/bench_repo_e2e_fb/out",
-        separator_predictor=sep, heading_predictor=head,
-        gnn_predictor=gnn, batch_size=BATCH, timings=timings)
-    total = time.perf_counter() - t0
+    with HostLoadMonitor() as mon:
+        t0 = time.perf_counter()
+        run_full_workflow(
+            image_paths, out_dir="/tmp/bench_repo_e2e_fb/out",
+            separator_predictor=sep, heading_predictor=head,
+            gnn_predictor=gnn, batch_size=BATCH, timings=timings)
+        total = time.perf_counter() - t0
     stages = {k: round(v / n_pages, 3) for k, v in sorted(timings.items())}
     stages["total_s_per_page"] = round(total / n_pages, 3)
-    return n_pages / total, stages
+    return n_pages / total, stages, mon.report()
 
 
 def bench_forward():
@@ -186,7 +249,8 @@ def bench_gnn(batch_graphs_n: int = 4, nodes: int = 128, iters: int = 10):
 
 
 def _emit(e2e_pages_s, stages, fwd_pages_s, mpix_s, edge_preds_s,
-          methodology: str, n_pages: int):
+          methodology: str, n_pages: int, host: dict):
+    from citlab_as_tpu.config import runtime
     print(json.dumps({
         "metric": f"end-to-end workflow pages/s ({n_pages} fresh 1536x1024 "
                   f"pages, all 5 stages, 1 chip)",
@@ -201,6 +265,8 @@ def _emit(e2e_pages_s, stages, fwd_pages_s, mpix_s, edge_preds_s,
             "gnn_edge_preds_per_s": round(edge_preds_s),
             "north_star_pages_per_s_per_chip": NORTH_STAR_PER_CHIP,
             "device": str(jax.devices()[0]),
+            "runtime_switches": runtime.active(),
+            **host,
         },
     }), flush=True)
 
@@ -208,7 +274,7 @@ def _emit(e2e_pages_s, stages, fwd_pages_s, mpix_s, edge_preds_s,
 def _child(mode: str):
     """Fallback modes run in a fresh subprocess (see main)."""
     n = PAGES if mode == "--fallback-multi" else BATCH
-    e2e_pages_s, stages = bench_e2e_fresh_process(n)
+    e2e_pages_s, stages, host = bench_e2e_fresh_process(n)
     fwd_pages_s, mpix_s = bench_forward()
     edge_preds_s = bench_gnn()
     _emit(e2e_pages_s, stages, fwd_pages_s, mpix_s, edge_preds_s,
@@ -216,7 +282,7 @@ def _child(mode: str):
               "relay-bug fallback: single workflow invocation in a fresh "
               "process (persistent compile cache warm; executable "
               "load/first-dispatch overhead INCLUDED in the timed window)"),
-          n_pages=n)
+          n_pages=n, host=host)
 
 
 def _preflight(timeout_s: int = 240) -> None:
@@ -247,14 +313,14 @@ def main():
         return
     _preflight()
     try:
-        e2e_pages_s, stages = bench_e2e()
+        e2e_pages_s, stages, host = bench_e2e()
         fwd_pages_s, mpix_s = bench_forward()
         edge_preds_s = bench_gnn()
         _emit(e2e_pages_s, stages, fwd_pages_s, mpix_s, edge_preds_s,
               methodology="warm-up on a separate batch-shaped page set, "
                           "then timed run over fresh pages (cold per-page "
                           "caches) in the same process",
-              n_pages=PAGES)
+              n_pages=PAGES, host=host)
         return
     except Exception as e:  # axon relay INVALID_ARGUMENT poison: client is
         print(f"bench: in-process run failed ({type(e).__name__}: {e}); "

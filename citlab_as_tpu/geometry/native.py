@@ -49,7 +49,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _load_attempted:
         return None
     _load_attempted = True
-    if os.environ.get("CITLAB_AS_TPU_NATIVE", "1") == "0":
+    from citlab_as_tpu.config import runtime
+    if not runtime.get("native_geometry"):
         return None
     if not os.path.exists(_LIB_PATH) and not _try_build():
         return None

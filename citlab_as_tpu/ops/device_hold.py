@@ -27,12 +27,13 @@ _ENABLED: bool | None = None
 def _enabled() -> bool:
     global _ENABLED
     if _ENABLED is None:
-        env = os.environ.get("CITLAB_HOLD_DEVICE_BUFFERS")
-        if env is not None:
-            _ENABLED = env not in ("0", "false", "")
-        else:
+        from citlab_as_tpu.config import runtime
+        val = runtime.get("hold_device_buffers")
+        if val == "auto":
             import jax
             _ENABLED = jax.default_backend() != "cpu"
+        else:
+            _ENABLED = bool(val)
     return _ENABLED
 
 

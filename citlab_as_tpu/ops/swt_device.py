@@ -733,7 +733,8 @@ class DeviceLineFeatures:
         # faster than the per-pixel gather on v5e (377 vs 534 ms/group at
         # the 48x512 bucket, probe_device_times round 4) — same relay-safe
         # program shape (no lax.map, no runtime dynamic_slice)
-        mode = _os.environ.get("CITLAB_SWT_EXTRACT", "gather2")
+        from citlab_as_tpu.config import runtime as _runtime
+        mode = _runtime.get("swt_extract")
         native_stats = False
         if mode == "native":
             from citlab_as_tpu.geometry.native import native_available
@@ -834,7 +835,8 @@ class DeviceLineFeatures:
         if native_stats:
             def materialize_native():
                 from citlab_as_tpu.geometry.native import line_stats_native
-                if _os.environ.get("CITLAB_SWT_BARRIER", "0") == "1":
+                from citlab_as_tpu.config import runtime as _rt
+                if _rt.get("swt_barrier"):
                     _barrier(sums_dev)
                 sums = np.asarray(sums_dev, np.float64)
                 # the FULL (padded) dt batch: its async copy was enqueued at
@@ -868,7 +870,8 @@ class DeviceLineFeatures:
                 # invocations in one process, gather2, no pins, direct bulk
                 # readback — no INVALID_ARGUMENT (ROUND4_NOTES). =1 restores
                 # the round-2 scalar pre-read workaround.
-                if _os.environ.get("CITLAB_SWT_BARRIER", "0") == "1":
+                from citlab_as_tpu.config import runtime as _rt
+                if _rt.get("swt_barrier"):
                     _barrier(packed_dev)
                 packed = np.asarray(packed_dev)      # ONE bulk readback
                 sums = packed[..., 0].astype(np.float64)

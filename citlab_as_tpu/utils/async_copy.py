@@ -21,7 +21,8 @@ import os
 def prefetch(*arrays) -> None:
     """Start async device->host copies for any jax.Arrays among ``arrays``
     (None / numpy / missing-API values are ignored)."""
-    if os.environ.get("CITLAB_PREFETCH", "1") == "0":
+    from citlab_as_tpu.config import runtime
+    if not runtime.get("prefetch"):
         return
     for a in arrays:
         fn = getattr(a, "copy_to_host_async", None)
