@@ -150,6 +150,10 @@ class HeadingNetPostProcessor:
         # auto (on for accelerator backends, off on CPU where scipy wins)
         self.use_device_swt: Optional[bool] = None
         self._device_features = None
+        # per-page fault hook (utils/faults.py): None = raise through;
+        # a callback(image_path, stage, exc) switches the per-page loops
+        # to the log-and-skip contract
+        self.on_page_error = None
         # device path: saved per-line (bbox, stroke_width, text_height) per
         # page — the GNN feature stage needs the SAME quantities for the
         # same lines (feature_generation.py:105-159) and can reuse them
@@ -283,33 +287,37 @@ class HeadingNetPostProcessor:
 
     # ------------------------------------------------------------------
     def run(self) -> List:
+        from citlab_as_tpu.utils.faults import page_guard
         pages = []
         for image_path in self.image_paths:
-            image = load_image(image_path, mode="L").astype(np.float32)
+            def run_one(image_path=image_path):
+                image = load_image(image_path, mode="L").astype(np.float32)
 
-            net_output_post = None
-            sc = None
-            if self.weight_dict["net"] > 0 and self.predict_fn is not None:
-                scaled, sc = scale_image(image, self.fixed_height, self.scaling_factor)
-                image_grey = np.asarray(scaled) / 255.0
-                net_output = np.asarray(self.predict_fn(image_grey))
-                # match the reference's quantize-then-normalize round trip
-                net_output = np.asarray(net_output * 255, dtype=np.uint8)
-                net_output_post = net_output[:, :, 0] / 255.0
+                net_output_post = None
+                if self.weight_dict["net"] > 0 and self.predict_fn is not None:
+                    scaled, _sc = scale_image(image, self.fixed_height,
+                                              self.scaling_factor)
+                    image_grey = np.asarray(scaled) / 255.0
+                    net_output = np.asarray(self.predict_fn(image_grey))
+                    # match the reference's quantize-then-normalize round trip
+                    net_output = np.asarray(net_output * 255, dtype=np.uint8)
+                    net_output_post = net_output[:, :, 0] / 255.0
 
-            swt_feature_image = self.swt.distance_transform(image, cache_key=image_path)
+                swt_feature_image = self.swt.distance_transform(
+                    image, cache_key=image_path)
 
-            page_path = self._page_path_for(image_path)
-            writer = RegionToPageWriter(
-                page_path, path_to_image=image_path,
-                fixed_height=self.fixed_height, scaling_factor=self.scaling_factor)
-            self.classify_page(writer.page_object, writer.scaling_factor,
-                               net_output_post, swt_feature_image,
-                               save_features_key=page_path + self.save_suffix)
-            logger.debug("Saving heading results to %s%s", page_path,
-                         self.save_suffix)
-            writer.save_page_xml(page_path + self.save_suffix)
-            pages.append(writer.page_object)
+                page_path = self._page_path_for(image_path)
+                writer = RegionToPageWriter(
+                    page_path, path_to_image=image_path,
+                    fixed_height=self.fixed_height, scaling_factor=self.scaling_factor)
+                self.classify_page(writer.page_object, writer.scaling_factor,
+                                   net_output_post, swt_feature_image,
+                                   save_features_key=page_path + self.save_suffix)
+                logger.debug("Saving heading results to %s%s", page_path,
+                             self.save_suffix)
+                writer.save_page_xml(page_path + self.save_suffix)
+                pages.append(writer.page_object)
+            page_guard(self.on_page_error, image_path, "heading", run_one)
         return pages
 
     def run_batched(self, batch_size: int = 4) -> List:
@@ -331,34 +339,45 @@ class HeadingNetPostProcessor:
         pages = []
         in_flight = None
 
+        from citlab_as_tpu.utils.faults import page_guard
+
         def drain(entry):
             chunk, outputs, images = entry
             if callable(outputs):
                 outputs = outputs()
             for image_path, net_output, image in zip(chunk, outputs, images):
-                net_u8 = np.asarray(net_output * 255, dtype=np.uint8)
-                net_output_post = net_u8[:, :, 0] / 255.0
-                swt_feature_image = self.swt.distance_transform(image, cache_key=image_path)
-                page_path = self._page_path_for(image_path)
-                writer = RegionToPageWriter(
-                    page_path, path_to_image=image_path,
-                    fixed_height=self.fixed_height,
-                    scaling_factor=self.scaling_factor)
-                self.classify_page(writer.page_object, writer.scaling_factor,
-                                   net_output_post, swt_feature_image,
-                                   save_features_key=page_path + self.save_suffix)
-                writer.save_page_xml(page_path + self.save_suffix)
-                pages.append(writer.page_object)
+                def drain_one(image_path=image_path, net_output=net_output,
+                              image=image):
+                    net_u8 = np.asarray(net_output * 255, dtype=np.uint8)
+                    net_output_post = net_u8[:, :, 0] / 255.0
+                    swt_feature_image = self.swt.distance_transform(image, cache_key=image_path)
+                    page_path = self._page_path_for(image_path)
+                    writer = RegionToPageWriter(
+                        page_path, path_to_image=image_path,
+                        fixed_height=self.fixed_height,
+                        scaling_factor=self.scaling_factor)
+                    self.classify_page(writer.page_object, writer.scaling_factor,
+                                       net_output_post, swt_feature_image,
+                                       save_features_key=page_path + self.save_suffix)
+                    writer.save_page_xml(page_path + self.save_suffix)
+                    pages.append(writer.page_object)
+                page_guard(self.on_page_error, image_path, "heading",
+                           drain_one)
 
         for start in range(0, len(self.image_paths), batch_size):
-            chunk = self.image_paths[start:start + batch_size]
-            greys, images = [], []
-            for image_path in chunk:
-                image = load_image(image_path, mode="L").astype(np.float32)
-                scaled, _ = scale_image(image, self.fixed_height,
-                                        self.scaling_factor)
-                greys.append(np.asarray(scaled) / 255.0)
-                images.append(image)
+            raw_chunk = self.image_paths[start:start + batch_size]
+            chunk, greys, images = [], [], []
+            for image_path in raw_chunk:
+                def load_one(image_path=image_path):
+                    image = load_image(image_path, mode="L").astype(np.float32)
+                    scaled, _ = scale_image(image, self.fixed_height,
+                                            self.scaling_factor)
+                    chunk.append(image_path)
+                    greys.append(np.asarray(scaled) / 255.0)
+                    images.append(image)
+                page_guard(self.on_page_error, image_path, "load", load_one)
+            if not chunk:
+                continue
             if hasattr(self.predict_fn, "predict_batch_device"):
                 outputs = self.predict_fn.predict_batch_device(greys)
             else:
@@ -428,8 +447,8 @@ class HeadingNetPostProcessor:
 
     @staticmethod
     def _native_line_stats() -> bool:
-        import os
-        if os.environ.get("CITLAB_SWT_EXTRACT", "gather2") != "native":
+        from citlab_as_tpu.config import runtime
+        if runtime.get("swt_extract") != "native":
             return False
         from citlab_as_tpu.geometry.native import native_available
         return native_available()
@@ -449,19 +468,32 @@ class HeadingNetPostProcessor:
         if self._device_features is None:
             self._device_features = DeviceLineFeatures()
 
+        from citlab_as_tpu.utils.faults import page_guard
         pages, swt_list, net_list = [], [], []
         for i, image_path in enumerate(chunk):
-            page_path = self._page_path_for(image_path)
-            writer = RegionToPageWriter(
-                page_path, path_to_image=image_path,
-                fixed_height=self.fixed_height,
-                scaling_factor=self.scaling_factor)
-            text_lines = writer.page_object.textlines   # snapshot
-            swt_boxes, net_boxes = self.line_feature_boxes(
-                text_lines, writer.scaling_factor)
-            pages.append((image_path, page_path, writer, text_lines))
-            swt_list.append(swt_boxes)
-            net_list.append(net_boxes)
+            def prepare_one(i=i, image_path=image_path):
+                page_path = self._page_path_for(image_path)
+                writer = RegionToPageWriter(
+                    page_path, path_to_image=image_path,
+                    fixed_height=self.fixed_height,
+                    scaling_factor=self.scaling_factor)
+                text_lines = writer.page_object.textlines   # snapshot
+                swt_boxes, net_boxes = self.line_feature_boxes(
+                    text_lines, writer.scaling_factor)
+                return ((image_path, page_path, writer, text_lines),
+                        swt_boxes, net_boxes)
+            prepared = page_guard(self.on_page_error, image_path, "heading",
+                                  prepare_one)
+            if prepared is None:
+                # skipped page: keep its slot so the box lists stay aligned
+                # with the device batch index i (dt_u8[i]/maps_u8[i]); the
+                # None page entry drops out in fused_finish
+                prepared = (None, [], [])
+            pages.append(prepared[0])
+            swt_list.append(prepared[1])
+            net_list.append(prepared[2])
+        if not any(p is not None for p in pages):
+            return ("device", (pages, lambda: [([], None)] * len(pages)))
         # ONE device dispatch for the whole group's line features
         handle = self._device_features.dispatch_batch(
             dt_u8, maps_u8, swt_list, net_list)
@@ -483,44 +515,56 @@ class HeadingNetPostProcessor:
     def fused_finish(self, materialized, pages_by_path: dict) -> None:
         """Pure host tail: classification + XML write for one materialized
         group — safe to overlap the next group's device execution."""
+        from citlab_as_tpu.utils.faults import page_guard
         kind, payload = materialized
         if kind == "host":
             chunk, maps_np, images = payload
             for image_path, net_u8, image in zip(chunk, maps_np, images):
-                net_output_post = net_u8 / 255.0
-                swt_feature_image = self.swt.distance_transform(
-                    image, cache_key=image_path)
-                page_path = self._page_path_for(image_path)
-                writer = RegionToPageWriter(
-                    page_path, path_to_image=image_path,
-                    fixed_height=self.fixed_height,
-                    scaling_factor=self.scaling_factor)
-                self.classify_page(writer.page_object, writer.scaling_factor,
-                                   net_output_post, swt_feature_image,
-                                   save_features_key=page_path + self.save_suffix)
-                writer.save_page_xml(page_path + self.save_suffix)
-                pages_by_path[image_path] = writer.page_object
+                def finish_one(image_path=image_path, net_u8=net_u8,
+                               image=image):
+                    net_output_post = net_u8 / 255.0
+                    swt_feature_image = self.swt.distance_transform(
+                        image, cache_key=image_path)
+                    page_path = self._page_path_for(image_path)
+                    writer = RegionToPageWriter(
+                        page_path, path_to_image=image_path,
+                        fixed_height=self.fixed_height,
+                        scaling_factor=self.scaling_factor)
+                    self.classify_page(writer.page_object, writer.scaling_factor,
+                                       net_output_post, swt_feature_image,
+                                       save_features_key=page_path + self.save_suffix)
+                    writer.save_page_xml(page_path + self.save_suffix)
+                    pages_by_path[image_path] = writer.page_object
+                page_guard(self.on_page_error, image_path, "heading",
+                           finish_one)
             return
 
         net_on = self.weight_dict["net"] > 0
         pages, results = payload
-        for (image_path, page_path, writer, text_lines), (netp, sw_th) in zip(
-                pages, results):
-            net_prob, sw_raw, th_raw = {}, {}, {}
-            saved = {}
-            for j, tl in enumerate(text_lines):
-                net_prob[tl.id] = float(netp[j]) if net_on else 0.0
-                sw_raw[tl.id] = float(sw_th[j, 0])
-                th_raw[tl.id] = int(sw_th[j, 1])
-                if tl.surr_p is not None:
-                    bb = tl.surr_p.to_polygon().get_bounding_box()
-                    saved[tl.id] = ((bb.x, bb.y, bb.width, bb.height),
-                                    sw_raw[tl.id], th_raw[tl.id])
-            self.line_features_by_page[page_path + self.save_suffix] = saved
-            self.classify_from_features(writer.page_object, text_lines,
-                                        net_prob, sw_raw, th_raw)
-            writer.save_page_xml(page_path + self.save_suffix)
-            pages_by_path[image_path] = writer.page_object
+        for page_entry, (netp, sw_th) in zip(pages, results):
+            if page_entry is None:    # skipped at fused_drain_dispatch
+                continue
+            image_path, page_path, writer, text_lines = page_entry
+
+            def finish_one(image_path=image_path, page_path=page_path,
+                           writer=writer, text_lines=text_lines,
+                           netp=netp, sw_th=sw_th):
+                net_prob, sw_raw, th_raw = {}, {}, {}
+                saved = {}
+                for j, tl in enumerate(text_lines):
+                    net_prob[tl.id] = float(netp[j]) if net_on else 0.0
+                    sw_raw[tl.id] = float(sw_th[j, 0])
+                    th_raw[tl.id] = int(sw_th[j, 1])
+                    if tl.surr_p is not None:
+                        bb = tl.surr_p.to_polygon().get_bounding_box()
+                        saved[tl.id] = ((bb.x, bb.y, bb.width, bb.height),
+                                        sw_raw[tl.id], th_raw[tl.id])
+                self.line_features_by_page[page_path + self.save_suffix] = saved
+                self.classify_from_features(writer.page_object, text_lines,
+                                            net_prob, sw_raw, th_raw)
+                writer.save_page_xml(page_path + self.save_suffix)
+                pages_by_path[image_path] = writer.page_object
+            page_guard(self.on_page_error, image_path, "heading", finish_one)
 
     def fused_drain_finish(self, state, pages_by_path: dict) -> None:
         """Materialize + classify one group (see the split halves)."""
@@ -553,7 +597,7 @@ class HeadingNetPostProcessor:
         max_batch = min(batch_size,
                         getattr(self.predict_fn, "MAX_DEVICE_BATCH", batch_size))
         groups = SeparatorNetPostProcessor.group_by_shape(
-            self.image_paths, max_batch)
+            self.image_paths, max_batch, on_error=self.on_page_error)
         for images, chunk in groups:
             entry = self.fused_dispatch(images, chunk, max_batch)
             if pending is not None:

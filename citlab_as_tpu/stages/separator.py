@@ -185,9 +185,9 @@ def separator_post_process(binary: np.ndarray,
         use_pallas = False
 
     if use_native is None:
-        import os
+        from citlab_as_tpu.config import runtime
         use_native = (not use_pallas
-                      and os.environ.get("CITLAB_SEP_POST", "native") != "device")
+                      and runtime.get("sep_post") != "device")
     if use_native:
         from citlab_as_tpu.geometry.native import separator_post_native
         res = separator_post_native(binary, 100, h_kernel, v_kernel,
@@ -253,6 +253,10 @@ class SeparatorNetPostProcessor:
         self.fixed_height = fixed_height
         self.scaling_factor = scaling_factor
         self.threshold = threshold
+        # per-page fault hook (utils/faults.py): None = raise through
+        # (historical behavior); a callback(image_path, stage, exc) switches
+        # every per-page loop to the reference's log-and-skip contract
+        self.on_page_error = None
 
     def process_image(self, image_grey: np.ndarray, sc: float):
         """Device inference + post-processing for one scaled grayscale image.
@@ -278,13 +282,17 @@ class SeparatorNetPostProcessor:
         return writer.page_object
 
     def run(self) -> List:
+        from citlab_as_tpu.utils.faults import page_guard
         pages = []
         for image_path in self.image_paths:
-            image = load_image(image_path, mode="L").astype(np.float32)
-            scaled, sc = scale_image(image, self.fixed_height, self.scaling_factor)
-            image_grey = np.asarray(scaled) / 255.0
-            polygons_dict = self.process_image(image_grey, sc)
-            pages.append(self._write_page(image_path, polygons_dict))
+            def run_one(image_path=image_path):
+                image = load_image(image_path, mode="L").astype(np.float32)
+                scaled, sc = scale_image(image, self.fixed_height,
+                                         self.scaling_factor)
+                image_grey = np.asarray(scaled) / 255.0
+                polygons_dict = self.process_image(image_grey, sc)
+                pages.append(self._write_page(image_path, polygons_dict))
+            page_guard(self.on_page_error, image_path, "separator", run_one)
         return pages
 
     def run_batched(self, batch_size: int = 4) -> List:
@@ -309,29 +317,40 @@ class SeparatorNetPostProcessor:
         pages = []
         in_flight = None   # (chunk_paths, outputs, scales) awaiting host work
 
+        from citlab_as_tpu.utils.faults import page_guard
+
         def drain(entry):
             chunk, outputs, scales = entry
             if callable(outputs):     # device handle -> materialize now
                 outputs = outputs()
             for image_path, net_output, sc in zip(chunk, outputs, scales):
-                net_u8 = np.asarray(net_output * 255, dtype=np.uint8)
-                binary = apply_threshold(net_u8[..., 0], self.threshold)
-                masks = separator_post_process(binary)
-                polygons_dict = {}
-                for separator_type, mask in masks.items():
-                    polygons_dict.update(masks_to_polygons(mask, separator_type))
-                polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
-                pages.append(self._write_page(image_path, polygons_dict))
+                def drain_one(image_path=image_path, net_output=net_output,
+                              sc=sc):
+                    net_u8 = np.asarray(net_output * 255, dtype=np.uint8)
+                    binary = apply_threshold(net_u8[..., 0], self.threshold)
+                    masks = separator_post_process(binary)
+                    polygons_dict = {}
+                    for separator_type, mask in masks.items():
+                        polygons_dict.update(masks_to_polygons(mask, separator_type))
+                    polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
+                    pages.append(self._write_page(image_path, polygons_dict))
+                page_guard(self.on_page_error, image_path, "separator",
+                           drain_one)
 
         for start in range(0, len(self.image_paths), batch_size):
-            chunk = self.image_paths[start:start + batch_size]
-            greys, scales = [], []
-            for image_path in chunk:
-                image = load_image(image_path, mode="L").astype(np.float32)
-                scaled, sc = scale_image(image, self.fixed_height,
-                                         self.scaling_factor)
-                greys.append(np.asarray(scaled) / 255.0)
-                scales.append(sc)
+            raw_chunk = self.image_paths[start:start + batch_size]
+            chunk, greys, scales = [], [], []
+            for image_path in raw_chunk:
+                def load_one(image_path=image_path):
+                    image = load_image(image_path, mode="L").astype(np.float32)
+                    scaled, sc = scale_image(image, self.fixed_height,
+                                             self.scaling_factor)
+                    chunk.append(image_path)
+                    greys.append(np.asarray(scaled) / 255.0)
+                    scales.append(sc)
+                page_guard(self.on_page_error, image_path, "load", load_one)
+            if not chunk:
+                continue
             if hasattr(self.predict_fn, "predict_batch_device"):
                 outputs = self.predict_fn.predict_batch_device(greys)
             else:
@@ -373,8 +392,9 @@ class SeparatorNetPostProcessor:
         # program forward-only — the device CC fixpoint was the biggest
         # slab of the wave pipeline's device floor. CITLAB_SEP_POST=device
         # restores the fully fused device chain.
+        from citlab_as_tpu.config import runtime
         from citlab_as_tpu.geometry.native import native_available
-        use_native = (os.environ.get("CITLAB_SEP_POST", "native") != "device"
+        use_native = (runtime.get("sep_post") != "device"
                       and native_available())
         from citlab_as_tpu.ops.device_hold import hold
         if use_native:
@@ -450,23 +470,28 @@ class SeparatorNetPostProcessor:
         v_packed = np.asarray(v_packed)
         if phase is not None:
             phase["materialize"] += _time.perf_counter() - t0
+        from citlab_as_tpu.utils.faults import page_guard
         for i, (image_path, sc) in enumerate(zip(chunk, scales)):
             t0 = _time.perf_counter()
-            masks = {
-                "horizontal": unpack_mask_bits(h_packed[i], out_w),
-                "vertical": unpack_mask_bits(v_packed[i], out_w),
-            }
-            polygons_dict = {}
-            for separator_type, mask in masks.items():
-                polygons_dict.update(masks_to_polygons(mask, separator_type))
-            polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
-            if phase is not None:
-                phase["contours"] += _time.perf_counter() - t0
-            t0 = _time.perf_counter()
-            pages_by_path[image_path] = self._write_page(
-                image_path, polygons_dict)
-            if phase is not None:
-                phase["write"] += _time.perf_counter() - t0
+
+            def drain_one(i=i, image_path=image_path, sc=sc):
+                nonlocal t0
+                masks = {
+                    "horizontal": unpack_mask_bits(h_packed[i], out_w),
+                    "vertical": unpack_mask_bits(v_packed[i], out_w),
+                }
+                polygons_dict = {}
+                for separator_type, mask in masks.items():
+                    polygons_dict.update(masks_to_polygons(mask, separator_type))
+                polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
+                if phase is not None:
+                    phase["contours"] += _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+                pages_by_path[image_path] = self._write_page(
+                    image_path, polygons_dict)
+                if phase is not None:
+                    phase["write"] += _time.perf_counter() - t0
+            page_guard(self.on_page_error, image_path, "separator", drain_one)
 
     def _drain_native(self, entry: dict, pages_by_path: dict, phase=None) -> None:
         """Host tail of the native-post mode: run the C run-space post-chain
@@ -479,33 +504,47 @@ class SeparatorNetPostProcessor:
 
         h_kernel, v_kernel, noise_kernel = entry["kernels"]
         packed, out_w = entry["packed"], entry["out_w"]
+        from citlab_as_tpu.utils.faults import page_guard
         for i, (image_path, sc) in enumerate(zip(entry["chunk"],
                                                  entry["scales"])):
             t0 = _time.perf_counter()
-            horizontal, vertical = separator_post_native_packed(
-                packed[i], out_w, 100, h_kernel, v_kernel, noise_kernel)
-            masks = {"horizontal": horizontal, "vertical": vertical}
-            polygons_dict = {}
-            for separator_type, mask in masks.items():
-                polygons_dict.update(masks_to_polygons(mask, separator_type))
-            polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
-            if phase is not None:
-                phase["contours"] += _time.perf_counter() - t0
-            t0 = _time.perf_counter()
-            pages_by_path[image_path] = self._write_page(
-                image_path, polygons_dict)
-            if phase is not None:
-                phase["write"] += _time.perf_counter() - t0
+
+            def drain_one(i=i, image_path=image_path, sc=sc):
+                nonlocal t0
+                horizontal, vertical = separator_post_native_packed(
+                    packed[i], out_w, 100, h_kernel, v_kernel, noise_kernel)
+                masks = {"horizontal": horizontal, "vertical": vertical}
+                polygons_dict = {}
+                for separator_type, mask in masks.items():
+                    polygons_dict.update(masks_to_polygons(mask, separator_type))
+                polygons_dict = rescale_polygons_dict(polygons_dict, 1.0 / sc)
+                if phase is not None:
+                    phase["contours"] += _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+                pages_by_path[image_path] = self._write_page(
+                    image_path, polygons_dict)
+                if phase is not None:
+                    phase["write"] += _time.perf_counter() - t0
+            page_guard(self.on_page_error, image_path, "separator", drain_one)
 
     @staticmethod
-    def group_by_shape(image_paths: List[str], max_batch: int):
+    def group_by_shape(image_paths: List[str], max_batch: int,
+                       on_error=None):
         """Lazily load images and yield consecutive same-shape page groups
         (static jit shapes per group) as (images, chunk_paths). Generator so
-        a large corpus holds at most one group of images in memory."""
+        a large corpus holds at most one group of images in memory.
+        ``on_error(image_path, stage, exc)`` switches load failures
+        (truncated/unreadable image) to the log-and-skip contract."""
         images: List[np.ndarray] = []
         chunk: List[str] = []
         for image_path in image_paths:
-            image = np.asarray(load_image(image_path, mode="L"), np.uint8)
+            try:
+                image = np.asarray(load_image(image_path, mode="L"), np.uint8)
+            except Exception as e:  # noqa: BLE001 - the skip contract
+                if on_error is None:
+                    raise
+                on_error(image_path, "load", e)
+                continue
             if images and (images[0].shape != image.shape
                            or len(images) >= max_batch):
                 yield images, chunk
@@ -528,7 +567,8 @@ class SeparatorNetPostProcessor:
         max_batch = min(batch_size,
                         getattr(self.predict_fn, "MAX_DEVICE_BATCH", batch_size))
         t0 = _time.perf_counter()
-        groups = self.group_by_shape(self.image_paths, max_batch)
+        groups = self.group_by_shape(self.image_paths, max_batch,
+                                     on_error=self.on_page_error)
         phase["load"] += _time.perf_counter() - t0
 
         for images, chunk in groups:

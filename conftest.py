@@ -73,7 +73,7 @@ _SLOW_TESTS = {
 # whole files that are slow across the board (trained checkpoints / pallas
 # compiles / visual backbones)
 _SLOW_FILES = {"test_trained_models.py", "test_visual_gnn.py",
-               "test_pallas_kernels.py"}
+               "test_pallas_kernels.py", "test_fault_isolation.py"}
 
 
 def pytest_collection_modifyitems(config, items):
