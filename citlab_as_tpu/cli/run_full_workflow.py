@@ -50,12 +50,16 @@ def run_full_workflow(image_paths: Sequence[str],
                       batch_size: int = 7,
                       separator_fixed_height: int = 1500,
                       heading_fixed_height: int = 900,
-                      heading_device_swt: Optional[bool] = None) -> dict:
+                      heading_device_swt: Optional[bool] = None,
+                      fault_tolerant: bool = True) -> dict:
     """Returns {'pages': [...], 'timings': {stage: seconds}}. Predictors may
     be injected directly (tests / custom models); otherwise they are loaded
     from the given model dirs (random-init when None).
     ``heading_device_swt`` overrides the heading stage's device-SWT
-    autodetection (None = on for accelerator backends)."""
+    autodetection (None = on for accelerator backends).
+    ``fault_tolerant=True`` applies the reference's per-page log-and-skip
+    contract (see :func:`run_full_workflow_pipelined`); skips are returned
+    under ``'skipped'``."""
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
     from citlab_as_tpu.stages.baseline_clustering import cluster_page
     from citlab_as_tpu.stages.features import generate_feature_jsons
@@ -73,11 +77,16 @@ def run_full_workflow(image_paths: Sequence[str],
         logger.info("stage %s: %.2fs", name, timings[name])
         return out
 
+    from citlab_as_tpu.utils.faults import SkippedPages
+    skipped = SkippedPages() if fault_tolerant else None
+
     # 1. separator detection (batched + dispatch-ahead when multi-page)
     sep_predictor = separator_predictor or SegmentationPredictor(separator_model_dir)
     sep_proc = SeparatorNetPostProcessor(
         list(image_paths), sep_predictor,
         fixed_height=separator_fixed_height)
+    if skipped is not None:
+        sep_proc.on_page_error = skipped.record
     if len(image_paths) > 1 and hasattr(sep_predictor, "predict_batch"):
         timed("separator", lambda: sep_proc.run_batched(batch_size=batch_size))
     else:
@@ -92,7 +101,7 @@ def run_full_workflow(image_paths: Sequence[str],
             image_paths, page_paths, heading_model_dir, gnn_model_dir,
             clustering_method, out_dir, skip_heading, skip_gnn, timings,
             timed, heading_predictor, gnn_predictor, batch_size,
-            heading_fixed_height, heading_device_swt)
+            heading_fixed_height, heading_device_swt, skipped)
 
 
 def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
@@ -100,17 +109,26 @@ def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
                                skip_heading, skip_gnn, timings, timed,
                                heading_predictor, gnn_predictor, batch_size,
                                heading_fixed_height,
-                               heading_device_swt=None):
+                               heading_device_swt=None, skipped=None):
     """Stages 2-5 of :func:`run_full_workflow`, run inside a page_cache()
     scope: each stage re-reads the page file the previous stage just wrote,
     so the scoped parse memo removes one DOM parse per stage per page
-    (files are still written — the on-disk contract is unchanged)."""
+    (files are still written — the on-disk contract is unchanged).
+    ``skipped`` (utils.faults.SkippedPages) applies the per-page
+    log-and-skip contract; a page recorded by any stage drops out of every
+    later stage."""
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
     from citlab_as_tpu.stages.baseline_clustering import cluster_page
     from citlab_as_tpu.stages.features import generate_feature_jsons
     from citlab_as_tpu.stages.gnn_io import gnn_clustering_for_pages
     from citlab_as_tpu.stages.heading import HeadingNetPostProcessor
     from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
+
+    all_page_paths = list(page_paths)
+
+    def live_pairs():
+        return [(pp, ip) for pp, ip in zip(all_page_paths, image_paths)
+                if skipped is None or ip not in skipped]
 
     # 2. heading detection, chained onto the separator-stage output pages
     # (updated in place via page_paths + empty save_suffix); batched +
@@ -123,19 +141,29 @@ def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
             fixed_height=heading_fixed_height,
             page_paths=page_paths, save_suffix="")
         proc.use_device_swt = heading_device_swt
+        if skipped is not None:
+            proc.on_page_error = skipped.record
         timed("heading", lambda: proc.run_batched(batch_size=batch_size)
               if len(image_paths) > 1 else proc.run())
         heading_line_features = proc.line_features_by_page
 
     # 3. baseline clustering + 4. text regions
     def run_clustering():
-        for page_path in page_paths:
-            cluster_page(page_path)
+        for pp, ip in live_pairs():
+            if skipped is None:
+                cluster_page(pp)
+            else:
+                skipped.guard(ip, "baseline_clustering",
+                              lambda pp=pp: cluster_page(pp))
     timed("baseline_clustering", run_clustering)
 
     def run_regions():
-        for page_path in page_paths:
-            generate_text_regions_for_page(page_path)
+        for pp, ip in live_pairs():
+            if skipped is None:
+                generate_text_regions_for_page(pp)
+            else:
+                skipped.guard(ip, "textregion",
+                              lambda pp=pp: generate_text_regions_for_page(pp))
     timed("textregion", run_regions)
 
     clustered = []
@@ -144,27 +172,40 @@ def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
         # region polygons in the JSONs and the page image at predict time
         gnn_predictor = gnn_predictor or RelationPredictor(gnn_model_dir)
         visual = bool(getattr(gnn_predictor, "image_input", False))
+        pairs = live_pairs()
         json_paths = timed("features", lambda: generate_feature_jsons(
-            page_paths, visual_regions=visual, separators="bb",
-            image_paths=list(image_paths),
+            [pp for pp, _ in pairs], visual_regions=visual, separators="bb",
+            image_paths=[ip for _, ip in pairs],
             line_features=heading_line_features))
 
-        triples = _align_feature_jsons(json_paths, page_paths,
-                                       list(image_paths))
+        triples = _align_feature_jsons(json_paths, [pp for pp, _ in pairs],
+                                       [ip for _, ip in pairs])
 
         def run_gnn():
             # ONE relation-net forward per page group (union-graph batching)
             # instead of a dispatch+readback round trip per page
             for start in range(0, len(triples), batch_size):
                 chunk = triples[start:start + batch_size]
-                clustered.extend(gnn_clustering_for_pages(
-                    [t[0] for t in chunk], gnn_predictor,
-                    clustering_method=clustering_method, out_dir=out_dir,
-                    page_paths=[t[1] for t in chunk],
-                    image_paths=[t[2] for t in chunk]))
+
+                def cluster_chunk(chunk=chunk):
+                    clustered.extend(gnn_clustering_for_pages(
+                        [t[0] for t in chunk], gnn_predictor,
+                        clustering_method=clustering_method, out_dir=out_dir,
+                        page_paths=[t[1] for t in chunk],
+                        image_paths=[t[2] for t in chunk]))
+                if skipped is None:
+                    cluster_chunk()
+                else:
+                    try:
+                        cluster_chunk()
+                    except Exception as e:  # noqa: BLE001 - skip contract
+                        for _json, _pp, ip in chunk:
+                            skipped.record(ip, "gnn_clustering", e)
         timed("gnn_clustering", run_gnn)
 
-    return {"pages": page_paths, "clustered": clustered, "timings": timings}
+    return {"pages": all_page_paths, "clustered": clustered,
+            "timings": timings,
+            "skipped": skipped.as_list() if skipped is not None else []}
 
 
 def run_full_workflow_pipelined(image_paths: Sequence[str],
@@ -181,8 +222,10 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                                 force: bool = False,
                                 separator_fixed_height: int = 1500,
                                 heading_fixed_height: int = 900,
-                                heading_device_swt: Optional[bool] = None
-                                ) -> dict:
+                                heading_device_swt: Optional[bool] = None,
+                                fault_tolerant: bool = True,
+                                mesh=None,
+                                host_workers: int = 0) -> dict:
     """Wave-pipelined production driver (accelerator backends).
 
     Four-stage software pipeline over same-shape page groups; TWO big
@@ -206,6 +249,23 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
     separator write -> heading in place -> baselines -> regions ->
     features -> GNN). ``force=True`` runs the wave loop even on the CPU
     backend (tests); by default CPU falls back to the sequential driver.
+
+    ``fault_tolerant=True`` (production default) applies the reference's
+    log-and-skip contract per page (run_baseline_clustering.py:39-42,
+    feature_generation.py:855-911): one truncated image or corrupt XML
+    drops that page from every downstream wave instead of killing the
+    batch; the skip list is returned under ``'skipped'``.
+
+    Multi-chip: ``mesh`` (a (data, model) ``jax.sharding.Mesh``,
+    parallel.mesh.make_mesh) runs every device program data-parallel —
+    page groups grow to ``batch_size * n_data`` and shard over the 'data'
+    axis with replicated params (GSPMD derives the per-chip programs; the
+    reference's L10 host-process sharding, run_net_post_processing.py:61-82,
+    becomes one process driving the whole slice). ``host_workers > 1``
+    additionally fans the wave's host tail (baselines -> regions ->
+    features, the GIL-bound geometry chain) over a persistent spawn pool
+    (stages/host_chain.py) so the host side scales with cores like the
+    device side scales with chips.
     """
     import time as _time
 
@@ -220,7 +280,8 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
             batch_size=batch_size,
             separator_fixed_height=separator_fixed_height,
             heading_fixed_height=heading_fixed_height,
-            heading_device_swt=heading_device_swt)
+            heading_device_swt=heading_device_swt,
+            fault_tolerant=fault_tolerant)
 
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
     from citlab_as_tpu.stages.baseline_clustering import cluster_page
@@ -237,6 +298,9 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
     gnn_predictor = gnn_predictor or RelationPredictor(gnn_model_dir)
     visual = bool(getattr(gnn_predictor, "image_input", False))
 
+    from citlab_as_tpu.utils.faults import SkippedPages
+    skipped = SkippedPages() if fault_tolerant else None
+
     page_paths_all = [get_page_path(p) + ".xml" for p in image_paths]
     sep_proc = SeparatorNetPostProcessor(
         list(image_paths), sep_predictor,
@@ -246,9 +310,33 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
         fixed_height=heading_fixed_height,
         page_paths=page_paths_all, save_suffix="")
     head_proc.use_device_swt = heading_device_swt
+    if skipped is not None:
+        sep_proc.on_page_error = skipped.record
+        head_proc.on_page_error = skipped.record
 
     max_batch = min(batch_size,
                     getattr(sep_predictor, "MAX_DEVICE_BATCH", batch_size))
+    if mesh is not None:
+        from citlab_as_tpu.parallel.mesh import replicate, shard_batch
+        n_data = mesh.shape["data"]
+        # params replicate once; page groups grow to one per-chip batch per
+        # device and shard on 'data' in dispatch_big
+        for pred in (sep_predictor, heading_predictor):
+            if getattr(pred, "variables", None) is not None:
+                pred.variables = replicate(mesh, pred.variables)
+        if hasattr(gnn_predictor, "mesh") and gnn_predictor.mesh is None:
+            gnn_predictor.mesh = mesh
+            gnn_predictor._n_data = n_data
+            if gnn_predictor.variables is not None:
+                gnn_predictor.variables = replicate(mesh,
+                                                    gnn_predictor.variables)
+        max_batch *= n_data
+
+    pool = None
+    if host_workers > 1:
+        from citlab_as_tpu.stages.host_chain import host_chain_builder
+        from citlab_as_tpu.utils.workers import PersistentPool
+        pool = PersistentPool(host_chain_builder, host_workers)
     clustered_by_path = {}
 
     def part(name, fn):
@@ -301,6 +389,11 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                 while len(padded) < max_batch:
                     padded.append(padded[-1])
                 device_batch = jnp.asarray(np.stack(padded))
+                if mesh is not None:
+                    # batch sharded over 'data', params replicated: GSPMD
+                    # derives the per-chip fused programs (computation
+                    # follows data; parity: test_parallel.py sharded tests)
+                    device_batch = shard_batch(mesh, device_batch)
                 sep_entry = sep_proc.fused_dispatch(
                     list(images), chunk, max_batch, device_batch=device_batch)
                 head_entry = head_proc.fused_dispatch(
@@ -333,31 +426,88 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                             lambda: head_proc.fused_materialize(head_state))
             part("heading_finish",
                  lambda: head_proc.fused_finish(head_mat, {}))
-            page_paths = [get_page_path(p) + ".xml" for p in pchunk]
+            # pages skipped upstream (load/separator/heading) drop out of
+            # every downstream wave here
+            live = [ip for ip in pchunk
+                    if skipped is None or ip not in skipped]
+            page_paths = [get_page_path(p) + ".xml" for p in live]
 
-            def run_baselines():
-                for pp in page_paths:
-                    cluster_page(pp)
-            part("baseline_clustering", run_baselines)
+            if pool is not None:
+                # host tail fanned over the persistent worker pool: one
+                # composite per-page task (baselines -> regions -> features,
+                # stages/host_chain.py), wall time ~ chain/workers
+                items = [{"page_path": pp, "image_path": ip,
+                          "visual": visual,
+                          "line_features":
+                              head_proc.line_features_by_page.get(pp)}
+                         for pp, ip in zip(page_paths, live)]
+                results, pool_skipped = part(
+                    "host_chain", lambda: pool.map_items(items))
+                if skipped is not None:
+                    for item in pool_skipped:
+                        skipped.record(item["image_path"], "host_chain",
+                                       RuntimeError(
+                                           "host_chain worker error "
+                                           "(see worker log)"))
+                json_by_page = {item["page_path"]: val
+                                for item, val in results if val}
+                # None values = features legitimately skipped the page
+                # (too few regions) — drop from triples, not a fault
+                triples = [(json_by_page[pp], pp, ip)
+                           for pp, ip in zip(page_paths, live)
+                           if pp in json_by_page]
+            else:
+                def run_baselines():
+                    for pp, ip in zip(page_paths, live):
+                        if skipped is None:
+                            cluster_page(pp)
+                        else:
+                            skipped.guard(ip, "baseline_clustering",
+                                          lambda pp=pp: cluster_page(pp))
+                part("baseline_clustering", run_baselines)
 
-            def run_regions():
-                from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
-                for pp in page_paths:
-                    generate_text_regions_for_page(pp)
-            part("textregion", run_regions)
+                def run_regions():
+                    from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
+                    for pp, ip in zip(page_paths, live):
+                        if skipped is None:
+                            generate_text_regions_for_page(pp)
+                        else:
+                            skipped.guard(ip, "textregion",
+                                          lambda pp=pp: generate_text_regions_for_page(pp))
+                part("textregion", run_regions)
 
-            json_paths = part("features", lambda: generate_feature_jsons(
-                page_paths, visual_regions=visual, separators="bb",
-                image_paths=list(pchunk),
-                line_features=head_proc.line_features_by_page))
-            # skipped pages (too few regions) drop out here — keep the
-            # json/page/image triples aligned for the clustering wave
-            triples = _align_feature_jsons(json_paths, page_paths,
-                                           list(pchunk))
-            _, materialize = part("gnn_dispatch", lambda: gnn_confidences_dispatch(
-                [t[0] for t in triples], gnn_predictor,
-                image_paths=[t[2] for t in triples]))
-            new_gnn = (materialize, triples)
+                live = [ip for ip in live
+                        if skipped is None or ip not in skipped]
+                page_paths = [get_page_path(p) + ".xml" for p in live]
+                json_paths = part("features", lambda: generate_feature_jsons(
+                    page_paths, visual_regions=visual, separators="bb",
+                    image_paths=list(live),
+                    line_features=head_proc.line_features_by_page))
+                # skipped pages (too few regions) drop out here — keep the
+                # json/page/image triples aligned for the clustering wave
+                triples = _align_feature_jsons(json_paths, page_paths,
+                                               list(live))
+
+            def dispatch_gnn():
+                _, materialize = gnn_confidences_dispatch(
+                    [t[0] for t in triples], gnn_predictor,
+                    image_paths=[t[2] for t in triples])
+                return materialize
+            if skipped is None or not triples:
+                materialize = part("gnn_dispatch", dispatch_gnn) \
+                    if triples else None
+            else:
+                # group-level guard: a failing batched dispatch skips the
+                # wave's pages rather than the whole batch
+                def dispatch_guarded():
+                    try:
+                        return dispatch_gnn()
+                    except Exception as e:  # noqa: BLE001 - skip contract
+                        for _json, _pp, ip in triples:
+                            skipped.record(ip, "gnn_dispatch", e)
+                        return None
+                materialize = part("gnn_dispatch", dispatch_guarded)
+            new_gnn = (materialize, triples) if materialize else None
 
         if pend_gnn is not None:
             materialize, triples = pend_gnn
@@ -367,26 +517,36 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
 
             def run_gnn():
                 for i, (json_path, pp, ip) in enumerate(triples):
-                    clustered_by_path[ip] = gnn_clustering_for_page(
-                        json_path, gnn_predictor,
-                        clustering_method=clustering_method,
-                        out_dir=out_dir, page_path=pp, image_path=ip,
-                        confidences=confs[i])
+                    def cluster_one(i=i, json_path=json_path, pp=pp, ip=ip):
+                        clustered_by_path[ip] = gnn_clustering_for_page(
+                            json_path, gnn_predictor,
+                            clustering_method=clustering_method,
+                            out_dir=out_dir, page_path=pp, image_path=ip,
+                            confidences=confs[i])
+                    if skipped is None:
+                        cluster_one()
+                    else:
+                        skipped.guard(ip, "gnn_clustering", cluster_one)
             part("gnn_clustering", run_gnn)
 
         pend_head, pend_gnn = new_head, new_gnn
 
     groups = SeparatorNetPostProcessor.group_by_shape(
-        list(image_paths), max_batch)
+        list(image_paths), max_batch,
+        on_error=skipped.record if skipped is not None else None)
     # page_cache: the host tail's stages each re-parse the page file the
     # previous stage just wrote; within this scope an unchanged file returns
     # the live Page instance instead (every stage still writes its output
     # file — the on-disk contract is unchanged)
-    with page_cache():
-        for images, chunk in groups:
-            advance(images, chunk)
-        for _ in range(4):   # flush the four pipeline stages
-            advance(None, None)
+    try:
+        with page_cache():
+            for images, chunk in groups:
+                advance(images, chunk)
+            for _ in range(4):   # flush the four pipeline stages
+                advance(None, None)
+    finally:
+        if pool is not None:
+            pool.close()
 
     # pipeline fully drained -> quiet queue: drop the relay-poison pins
     # (upload batches + per-group outputs held by ops.device_hold), which
@@ -401,7 +561,8 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
             timings.get("separator_drain." + k, 0.0) + sep_phase[k])
     timings["total"] = timings.get("total", 0.0) + _time.time() - t_start
     return {"pages": page_paths_all, "clustered": clustered,
-            "timings": timings}
+            "timings": timings,
+            "skipped": skipped.as_list() if skipped is not None else []}
 
 
 def main(argv: Optional[Sequence[str]] = None):
@@ -418,16 +579,32 @@ def main(argv: Optional[Sequence[str]] = None):
     parser.add_argument("--pipelined", action="store_true", default=False,
                         help="wave-pipelined driver: every host stage "
                              "overlaps device compute (accelerator only)")
+    parser.add_argument("--data_parallel", action="store_true", default=False,
+                        help="shard page groups over ALL visible devices "
+                             "(jax.sharding mesh, params replicated); "
+                             "implies --pipelined")
+    parser.add_argument("--host_workers", type=int, default=0,
+                        help="fan the host geometry tail (baselines/regions/"
+                             "features) over N worker processes (pipelined "
+                             "driver only; 0/1 = in-process)")
     args = parser.parse_args(argv)
 
     from citlab_as_tpu.utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()
     image_paths = load_list_file(args.path_to_image_list)
-    if args.pipelined and not args.skip_heading and not args.skip_gnn:
+    if ((args.pipelined or args.data_parallel)
+            and not args.skip_heading and not args.skip_gnn):
+        mesh = None
+        if args.data_parallel:
+            import jax
+            if len(jax.devices()) > 1:
+                from citlab_as_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh()
         result = run_full_workflow_pipelined(
             image_paths, args.separator_model_dir, args.heading_model_dir,
             args.gnn_model_dir, args.clustering_method, args.out_dir,
-            batch_size=args.batch_size)
+            batch_size=args.batch_size, mesh=mesh,
+            host_workers=args.host_workers)
     else:
         result = run_full_workflow(
             image_paths, args.separator_model_dir, args.heading_model_dir,

@@ -186,7 +186,8 @@ class RelationPredictor:
                  assign_visual_features_to_edges: bool = False,
                  image_min_dimension: int = 600,
                  image_max_dimension: int = 1024,
-                 seed: int = 0):
+                 seed: int = 0,
+                 mesh=None):
         self.model = GraphRelation(
             num_classes=num_classes, gnn_params=gnn_params,
             message_params=message_params, update_params=update_params,
@@ -204,6 +205,12 @@ class RelationPredictor:
         self.model_dir = model_dir
         self.seed = seed
         self.variables = None
+        # data-parallel inference over a device mesh: page-group batches
+        # shard over the mesh's 'data' axis (group bucket rounds up to a
+        # multiple of it), params replicate, GSPMD derives the per-chip
+        # program — the GNN twin of ShardedSegmentationPredictor
+        self.mesh = mesh
+        self._n_data = mesh.shape["data"] if mesh is not None else 1
 
         self._predict = jax.jit(
             lambda v, b: jax.nn.softmax(self.model.apply(v, b), axis=-1)[..., 1])
@@ -233,6 +240,9 @@ class RelationPredictor:
             logger.info("Restored GNN params from %s", self.model_dir)
         else:
             logger.warning("RelationPredictor using RANDOM params.")
+        if self.mesh is not None:
+            from citlab_as_tpu.parallel.mesh import replicate
+            variables = replicate(self.mesh, variables)
         self.variables = variables
 
     def _bucket(self, n: int) -> int:
@@ -338,6 +348,9 @@ class RelationPredictor:
         at least an executable load each."""
         ns_real = len(graphs)
         group = max(getattr(self, "_group_bucket", 1), ns_real)
+        # mesh mode: the union-graph batch shards on its leading (page)
+        # axis, so the group bucket must divide evenly over 'data'
+        group = -(-group // self._n_data) * self._n_data
         self._group_bucket = group
         graphs = list(graphs) + [graphs[-1]] * (group - ns_real)
         if images is not None:
@@ -394,6 +407,9 @@ class RelationPredictor:
         fused programs so it is not stuck behind them in the in-order device
         queue."""
         inputs, ns = self._batch_inputs(graphs, images)
+        if self.mesh is not None:
+            from citlab_as_tpu.parallel.mesh import shard_batch
+            inputs = shard_batch(self.mesh, inputs)
         self._ensure_params(inputs)
         dev_conf = self._predict(self.variables, inputs)
         from citlab_as_tpu.utils.async_copy import prefetch

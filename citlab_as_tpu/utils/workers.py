@@ -87,3 +87,49 @@ def run_sharded(fn_builder: Callable[[], Callable], items: Sequence,
             results.extend(done)
             skipped.extend(skip)
     return results, skipped
+
+
+class PersistentPool:
+    """A worker pool that SURVIVES across calls — the wave-pipelined
+    workflow driver maps each wave's host tail over it, and paying the
+    ~2-3 s spawn+import cost per WAVE (as :func:`run_sharded` would) would
+    erase the win. Workers build their callable once via ``fn_builder``
+    (same contract as run_sharded) and process items with the log-and-skip
+    contract.
+
+    Reference analog: run_net_post_processing.py:61-82 keeps one
+    ProcessPoolExecutor alive for the whole corpus; here the pool is
+    additionally reused across pipeline waves.
+    """
+
+    def __init__(self, fn_builder: Callable[[], Callable], num_workers: int):
+        import multiprocessing
+        self.num_workers = num_workers
+        self._pool = ProcessPoolExecutor(
+            max_workers=num_workers, initializer=_init_worker,
+            initargs=(fn_builder,),
+            mp_context=multiprocessing.get_context("spawn"))
+
+    def map_items(self, items: Sequence) -> Tuple[List, List]:
+        """Apply the worker fn to every item (round-robin shards sized to
+        the pool). Returns (results, skipped) like :func:`run_sharded`;
+        results are (item, value) pairs in completion order."""
+        if not items:
+            return [], []
+        shards = split_list(list(items), self.num_workers)
+        shards = [s for s in shards if s]
+        results, skipped = [], []
+        for done, skip in self._pool.map(_run_shard, shards):
+            results.extend(done)
+            skipped.extend(skip)
+        return results, skipped
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -128,6 +128,82 @@ def test_fused_separator_pipeline_sharded():
     np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_sh))
 
 
+@pytest.mark.slow
+def test_multi_device_full_workflow_e2e(tmp_path):
+    """VERDICT r4 item 1: the FULL 5-stage production workflow — XML in ->
+    clustered XML out — over the 8-device mesh: fused separator/heading
+    programs and the batched GNN all data-parallel (batch sharded on
+    'data', params replicated), host geometry tail fanned over a
+    persistent 2-worker pool (stages/host_chain.py), blind AS F1 asserted
+    against the stripped ground truth. This is the inference path a real
+    v5e-8 runs."""
+    import os
+    import shutil
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+    sep_ckpt = os.path.join(REPO, "models_ckpt", "separator")
+    head_ckpt = os.path.join(REPO, "models_ckpt", "heading")
+    gnn_ckpt = os.path.join(REPO, "models_ckpt", "gnn_pipeline", "best", "f1")
+    if not all(os.path.isdir(d) for d in (sep_ckpt, head_ckpt, gnn_ckpt)):
+        pytest.skip("needs trained separator/heading/gnn_pipeline checkpoints")
+
+    from train_pipeline_gnn import make_article_page
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow_pipelined
+    from citlab_as_tpu.cli.run_measure import main as measure_main
+    from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
+    from citlab_as_tpu.pagexml import Page
+
+    work = str(tmp_path)
+    rng = np.random.RandomState(99)
+    imgs, gts = [], []
+    for i in range(4):
+        img, page_path, n_articles = make_article_page(work, f"m{i}", rng)
+        assert n_articles >= 2
+        gt_dir = os.path.join(work, "gt", "page")
+        os.makedirs(gt_dir, exist_ok=True)
+        gt_path = os.path.join(gt_dir, f"m{i}.xml")
+        shutil.copy(page_path, gt_path)
+        page = Page(page_path)
+        tls = page.get_textlines()
+        for tl in tls:
+            tl.set_article_id(None)     # strip GT: the pipeline runs blind
+        page.set_textline_attr(tls)
+        page.write_page_xml(page_path)
+        imgs.append(img)
+        gts.append(gt_path)
+
+    mesh = make_mesh()                  # (8, 1) over the virtual devices
+    sep = SegmentationPredictor(sep_ckpt)
+    head = SegmentationPredictor(head_ckpt)
+    gnn = RelationPredictor(gnn_ckpt)
+
+    result = run_full_workflow_pipelined(
+        imgs, out_dir=os.path.join(work, "out"),
+        separator_predictor=sep, heading_predictor=head, gnn_predictor=gnn,
+        force=True, batch_size=1, mesh=mesh, host_workers=2)
+
+    assert not result["skipped"], result["skipped"]
+    assert len(result["clustered"]) == 4
+    # the GNN ran sharded: its group bucket rounded up to the data axis
+    assert gnn.mesh is mesh and gnn._group_bucket % 8 == 0
+
+    gt_lst = os.path.join(work, "gt.lst")
+    hy_lst = os.path.join(work, "hy.lst")
+    open(gt_lst, "w").write("\n".join(gts) + "\n")
+    open(hy_lst, "w").write("\n".join(result["clustered"]) + "\n")
+    out = measure_main(["--path_to_gt_xml_lst", gt_lst,
+                        "--path_to_hy_xml_lst", hy_lst,
+                        "--min_tol", "10", "--max_tol", "30"])
+    as_r, as_p, as_f = out["as"]
+    # single-chip blind e2e measures 1.0 on this corpus
+    # (test_trained_models.py::test_blind_e2e_multi_article_f1)
+    assert as_f > 0.95, f"sharded AS F1 {as_f} too low (R={as_r}, P={as_p})"
+
+
 def test_initialize_multihost_noop_without_coordinator(monkeypatch):
     """Single-host (no coordinator configured): returns False and leaves
     the runtime untouched; with a coordinator env var set it attempts real

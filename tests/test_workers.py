@@ -89,3 +89,38 @@ def test_net_post_processing_cli_batched_sharded(tmp_path):
           "--fixed_height", "128", "--batch_size", "2", "--sharded"])
     for i in range(3):
         assert os.path.exists(tmp_path / "page" / f"b{i}.xml.xml")
+
+
+def _square_builder():
+    return lambda x: x * x
+
+
+def test_persistent_pool_survives_calls():
+    """PersistentPool: same workers serve several map_items waves (no
+    re-spawn per wave), log-and-skip per item."""
+    from citlab_as_tpu.utils.workers import PersistentPool
+
+    with PersistentPool(_square_builder, num_workers=2) as pool:
+        r1, s1 = pool.map_items([1, 2, 3])
+        assert sorted(v for _, v in r1) == [1, 4, 9] and not s1
+        # second wave reuses the live workers
+        r2, s2 = pool.map_items([4, 5])
+        assert sorted(v for _, v in r2) == [16, 25] and not s2
+        assert pool.map_items([]) == ([], [])
+
+
+def _fail_odd_builder():
+    def fn(x):
+        if x % 2:
+            raise ValueError(x)
+        return x
+    return fn
+
+
+def test_persistent_pool_skip_contract():
+    from citlab_as_tpu.utils.workers import PersistentPool
+
+    with PersistentPool(_fail_odd_builder, num_workers=2) as pool:
+        results, skipped = pool.map_items([0, 1, 2, 3])
+        assert sorted(v for _, v in results) == [0, 2]
+        assert sorted(skipped) == [1, 3]
