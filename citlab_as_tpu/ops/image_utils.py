@@ -43,29 +43,44 @@ def is_whitespace(binarized_image: np.ndarray, rectangle,
 def apply_transform(img: np.ndarray, transform_type: Optional[str] = None,
                     kernel_size: Tuple[int, int] = (4, 4),
                     kernel_type: str = "rect", iterations: int = 1) -> np.ndarray:
-    """Morphological transform dispatcher (morphology.py:5+). Rect kernels
-    run on device; ellipse/cross are not supported by the rect-window device
-    ops and raise."""
-    if kernel_type != "rect":
-        raise NotImplementedError(
-            f"kernel_type '{kernel_type}' not supported (rect only on device)")
+    """Morphological transform dispatcher (morphology.py:5-45, incl. the
+    MORPH_ELLIPSE/MORPH_CROSS kernel types of morphology.py:30). Rect
+    kernels run on device via reduce_window; ellipse/cross via the masked
+    shifted-slice ops (cv2-parity tests in tests/test_ops.py)."""
+    if kernel_type == "rect":
+        _erode = erode
+        _dilate = dilate
+        _open = morph_open
+        _close = morph_close
+    elif kernel_type in ("ellipse", "cross"):
+        from functools import partial
+
+        from citlab_as_tpu.ops.morphology import (
+            dilate_masked, erode_masked, morph_close_masked,
+            morph_open_masked)
+        _erode = partial(erode_masked, kind=kernel_type)
+        _dilate = partial(dilate_masked, kind=kernel_type)
+        _open = partial(morph_open_masked, kind=kernel_type)
+        _close = partial(morph_close_masked, kind=kernel_type)
+    else:
+        raise ValueError(f"Unknown kernel_type '{kernel_type}'")
     kw, kh = kernel_size
     x = jnp.asarray(img, jnp.float32)
     for _ in range(max(1, iterations)):
         if transform_type == "erosion":
-            x = erode(x, kw, kh)
+            x = _erode(x, kw, kh)
         elif transform_type == "dilation":
-            x = dilate(x, kw, kh)
+            x = _dilate(x, kw, kh)
         elif transform_type == "opening":
-            x = morph_open(x, kw, kh)
+            x = _open(x, kw, kh)
         elif transform_type == "closing":
-            x = morph_close(x, kw, kh)
+            x = _close(x, kw, kh)
         elif transform_type == "gradient":
-            x = dilate(x, kw, kh) - erode(x, kw, kh)
+            x = _dilate(x, kw, kh) - _erode(x, kw, kh)
         elif transform_type == "tophat":
-            x = jnp.asarray(img, jnp.float32) - morph_open(x, kw, kh)
+            x = jnp.asarray(img, jnp.float32) - _open(x, kw, kh)
         elif transform_type == "blackhat":
-            x = morph_close(x, kw, kh) - jnp.asarray(img, jnp.float32)
+            x = _close(x, kw, kh) - jnp.asarray(img, jnp.float32)
         else:
             raise ValueError(f"Unknown transform_type '{transform_type}'")
     return np.asarray(x).astype(np.asarray(img).dtype)

@@ -50,8 +50,10 @@ def test_apply_transform():
     assert dilated[7, 7] == 255
     eroded = apply_transform(img, "erosion", kernel_size=(3, 3))
     assert eroded.sum() < img.sum()
-    with pytest.raises(NotImplementedError):
-        apply_transform(img, "dilation", kernel_type="ellipse")
+    dilated_e = apply_transform(img, "dilation", kernel_type="ellipse")
+    assert dilated_e.sum() > img.sum()   # cv2 parity in tests/test_ops.py
+    with pytest.raises(ValueError):
+        apply_transform(img, "dilation", kernel_type="diamond")
     with pytest.raises(ValueError):
         apply_transform(img, "nope")
 
