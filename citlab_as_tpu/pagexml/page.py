@@ -173,7 +173,7 @@ class Page:
     # elements the XSD requires to carry a Coords child
     _NEEDS_COORDS = ("TextRegion", "SeparatorRegion", "ImageRegion",
                      "GraphicRegion", "TableRegion", "ChartRegion",
-                     "TextLine", "Word")
+                     "TextLine", "Word", "Glyph")
 
     _XSD_SCHEMA = None          # compiled etree.XMLSchema, loaded lazily
     _XSD_SCHEMA_FAILED = False  # schema file missing/uncompilable: fall back

