@@ -43,6 +43,8 @@ class Switch:
     def parse_env(self, raw: str) -> Any:
         if self.kind == "bool":
             return raw.lower() in _TRUE
+        if self.kind == "int":
+            return int(raw)
         if self.kind == "tristate":
             if raw.lower() == "auto":
                 return "auto"
@@ -73,6 +75,14 @@ _declare(
     "~1.5 ms/page but pays an ~11 MB/wave distance-transform readback — "
     "A/B NEGATIVE on the axon tunnel, wins on PCIe-class links).",
     choices=("gather", "gather2", "map", "native"))
+_declare(
+    "swt_stride", "CITLAB_SWT_STRIDE", 0, "int",
+    "Doubling-distance cap for the per-line SWT component fixpoint "
+    "(ops/swt_device.py): each propagation sweep then reaches ~2*stride-1 "
+    "px along a run instead of the full crop width. Glyph runs are short, "
+    "so a 16-32 cap cuts the fixpoint's HBM traffic without extra outer "
+    "iterations (exactness is kept by the convergence check either way). "
+    "0 = uncapped full-width doubling.")
 _declare(
     "swt_barrier", "CITLAB_SWT_BARRIER", False, "bool",
     "Insert a 4-byte scalar device read before the SWT bulk readback (the "
@@ -175,6 +185,8 @@ def register_flags(flags=None) -> None:
         doc = sw.doc + f" [env override: {sw.env}]"
         if sw.kind == "bool":
             flags.define_boolean("citlab_" + sw.name, None, doc)
+        elif sw.kind == "int":
+            flags.define_integer("citlab_" + sw.name, None, doc)
         elif sw.kind == "tristate":
             flags.define_string("citlab_" + sw.name, None, doc,
                                 metavar="auto|true|false")

@@ -105,7 +105,7 @@ def _shift_axis(arr: jnp.ndarray, k: int, fill, axis: int) -> jnp.ndarray:
 
 
 def _run_extreme_stack(vals: jnp.ndarray, fg: jnp.ndarray,
-                       axis: int = -1) -> jnp.ndarray:
+                       axis: int = -1, stride: int = 0) -> jnp.ndarray:
     """Multi-channel per-run MAX along ``axis`` (-1 or -2): ``vals``
     [C, ..., H, W] uint16 (identity 0), ``fg`` [..., H, W] bool shared by
     all channels.
@@ -115,13 +115,22 @@ def _run_extreme_stack(vals: jnp.ndarray, fg: jnp.ndarray,
     is computed ONCE on the channel-less ``fg`` (not broadcast per
     channel), and the column direction shifts along axis -2 directly
     instead of materializing swapaxes transposes (sub-32-bit transposes
-    are packing-heavy on TPU)."""
+    are packing-heavy on TPU).
+
+    ``stride`` > 0 caps the doubling distance: each sweep then propagates
+    only ~2*stride-1 px along a run instead of the full axis. Runs in text
+    crops are glyph-sized (<< the 512-px width bucket), so the capped
+    sweep reaches the same fixpoint in about the same number of OUTER
+    iterations at a fraction of the HBM traffic; rare long runs (in-crop
+    separator fragments) just take extra outer iterations — the caller's
+    while_loop convergence check keeps the result exact either way."""
     w = vals.shape[axis]
+    cap = min(w, stride) if stride else w
     masked = jnp.where(fg[None], vals, jnp.uint16(0))
 
     def direction(v, r, sgn):
         s, rr, k = v, r, 1
-        while k < w:
+        while k < cap:
             s = jnp.where(rr[None],
                           jnp.maximum(s, _shift_axis(s, sgn * k, 0, axis)), s)
             rr = rr & _shift_axis(rr, sgn * k, False, axis)
@@ -144,15 +153,16 @@ def _window_max_stack(vals: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(fg[None], jnp.maximum(vals, win), vals)
 
 
-def _propagate_step_stack(vals: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
-    vals = _run_extreme_stack(vals, fg, axis=-1)
-    vals = _run_extreme_stack(vals, fg, axis=-2)
+def _propagate_step_stack(vals: jnp.ndarray, fg: jnp.ndarray,
+                          stride: int = 0) -> jnp.ndarray:
+    vals = _run_extreme_stack(vals, fg, axis=-1, stride=stride)
+    vals = _run_extreme_stack(vals, fg, axis=-2, stride=stride)
     return _window_max_stack(vals, fg)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "stride"))
 def component_stats_u16(crops_dt: jnp.ndarray, fg: jnp.ndarray,
-                        max_iters: int = 64):
+                        max_iters: int = 64, stride: int = 0):
     """uint16 merged-stack variant of :func:`component_stats` — identical
     results, ~2-3x less HBM traffic (the fixpoint is bandwidth-bound):
 
@@ -177,7 +187,7 @@ def component_stats_u16(crops_dt: jnp.ndarray, fg: jnp.ndarray,
 
     def body(carry):
         stack, _, it = carry
-        nstack = _propagate_step_stack(stack, fg)
+        nstack = _propagate_step_stack(stack, fg, stride)
         changed = jnp.any(nstack != stack)
         return nstack, changed, it + 1
 
@@ -235,7 +245,7 @@ def component_stats(crops_dt: jnp.ndarray, fg: jnp.ndarray,
 
 
 def _bbox_max(crops: jnp.ndarray, fg: jnp.ndarray, mny: jnp.ndarray,
-              mxy: jnp.ndarray) -> jnp.ndarray:
+              mxy: jnp.ndarray, stride: int = 0) -> jnp.ndarray:
     """Max DT over each component's BOUNDING BOX (not the component itself —
     the reference reads np.max over the bbox crop, swt __main__ semantics
     mirrored in StrokeWidthDistanceTransform.textline_features, so pixels of
@@ -263,7 +273,7 @@ def _bbox_max(crops: jnp.ndarray, fg: jnp.ndarray, mny: jnp.ndarray,
 
     def body(carry):
         v, _, it = carry
-        nv = _propagate_step_stack(v, fg)
+        nv = _propagate_step_stack(v, fg, stride)
         return nv, jnp.any(nv != v), it + 1
 
     r, _, _ = jax.lax.while_loop(
@@ -271,16 +281,17 @@ def _bbox_max(crops: jnp.ndarray, fg: jnp.ndarray, mny: jnp.ndarray,
     return r[0].astype(jnp.int32)
 
 
-def _line_stats_from_crops(crops: jnp.ndarray, clean_ccs: int):
+def _line_stats_from_crops(crops: jnp.ndarray, clean_ccs: int,
+                           stride: int = 0):
     """[L, crop_h, crop_w] int32 DT crops -> [L, 2] (stroke, text_height)."""
     fg = crops > 0
     crop_h, crop_w = crops.shape[-2:]
     if crop_h * crop_w <= 32768:   # uint16 label transform headroom
-        lab, mxx, mnx, mxy = component_stats_u16(crops, fg)
+        lab, mxx, mnx, mxy = component_stats_u16(crops, fg, stride=stride)
     else:
         lab, mxx, mnx, mxy = component_stats(crops, fg)
     mny = lab // crop_w                         # root = min row-major index
-    mdt = _bbox_max(crops, fg, mny, mxy)        # reference: max over CC BBOX
+    mdt = _bbox_max(crops, fg, mny, mxy, stride)  # reference: max over CC BBOX
 
     ch = mxy - mny + 1
     cw = mxx - mnx + 1
@@ -404,10 +415,11 @@ def net_prob_sums(prob_u8: jnp.ndarray, boxes: jnp.ndarray,
     return jnp.sum(crops, axis=(1, 2))
 
 
-@partial(jax.jit, static_argnames=("crop_h", "crop_w", "clean_ccs", "chunk"))
+@partial(jax.jit, static_argnames=("crop_h", "crop_w", "clean_ccs", "chunk",
+                                   "stride"))
 def swt_line_stats_batch_gather(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
                                 crop_h: int, crop_w: int, clean_ccs: int = 2,
-                                chunk: int = _STATS_CHUNK):
+                                chunk: int = _STATS_CHUNK, stride: int = 0):
     """Gather-formulated page-group variant of :func:`swt_line_stats_batch`.
 
     Same contract ([B, H, W] u8 DT + [B, L, 4] boxes -> [B, L, 2]) but the
@@ -455,15 +467,16 @@ def swt_line_stats_batch_gather(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
         valid = ((rr <= eb[:, 3][:, None, None])    # inclusive crop:
                  & (cc <= eb[:, 2][:, None, None]))  # dt[y:y+h+1, x:x+w+1]
         outs.append(_line_stats_from_crops(jnp.where(valid, crops, 0),
-                                           clean_ccs))
+                                           clean_ccs, stride))
     out = jnp.concatenate(outs, axis=0)
     return out[:n].reshape(b, l, 2)
 
 
-@partial(jax.jit, static_argnames=("crop_h", "crop_w", "clean_ccs", "chunk"))
+@partial(jax.jit, static_argnames=("crop_h", "crop_w", "clean_ccs", "chunk",
+                                   "stride"))
 def swt_line_stats_batch_gather2(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
                                  crop_h: int, crop_w: int, clean_ccs: int = 2,
-                                 chunk: int = _STATS_CHUNK):
+                                 chunk: int = _STATS_CHUNK, stride: int = 0):
     """MXU variant of :func:`swt_line_stats_batch_gather`: the column
     extraction is a one-hot bf16 matmul instead of a per-pixel gather
     (TPU gathers with unit slice sizes measured tens of ms at production
@@ -510,17 +523,18 @@ def swt_line_stats_batch_gather2(dt_u8: jnp.ndarray, boxes: jnp.ndarray,
         valid = ((rr <= eb[:, 3][:, None, None])
                  & (cc <= eb[:, 2][:, None, None]))
         outs.append(_line_stats_from_crops(jnp.where(valid, crops, 0),
-                                           clean_ccs))
+                                           clean_ccs, stride))
     out = jnp.concatenate(outs, axis=0)
     return out[:n].reshape(b, l, 2)
 
 
 @partial(jax.jit, static_argnames=("crop_h", "crop_w", "mxu", "clean_ccs",
-                                   "chunk"))
+                                   "chunk", "stride"))
 def line_features_batch(dt_u8: jnp.ndarray, prob_u8: jnp.ndarray,
                         swt_boxes: jnp.ndarray, net_boxes: jnp.ndarray,
                         crop_h: int, crop_w: int, mxu: bool = False,
-                        clean_ccs: int = 2, chunk: int = _STATS_CHUNK):
+                        clean_ccs: int = 2, chunk: int = _STATS_CHUNK,
+                        stride: int = 0):
     """ONE program, ONE output for a group's full per-line feature set:
     int32 [B, L, 3] of (exact net-prob sum, 2*stroke_width, text_height).
     A single executable with a single packed result means one dispatch and
@@ -529,7 +543,7 @@ def line_features_batch(dt_u8: jnp.ndarray, prob_u8: jnp.ndarray,
     statistics' sum — an exact integer (the host divides by 2)."""
     stats_fn = swt_line_stats_batch_gather2 if mxu else swt_line_stats_batch_gather
     sw_th = stats_fn(dt_u8, swt_boxes, crop_h=crop_h, crop_w=crop_w,
-                     clean_ccs=clean_ccs, chunk=chunk)
+                     clean_ccs=clean_ccs, chunk=chunk, stride=stride)
     sums = net_prob_sums_batch_sat(prob_u8, net_boxes)
     # sw_th[..., 0] = (v1+v2)/2 with integer v1, v2 <= 255 — exact in f32,
     # so the *2 round trip is lossless
@@ -735,6 +749,7 @@ class DeviceLineFeatures:
         # program shape (no lax.map, no runtime dynamic_slice)
         from citlab_as_tpu.config import runtime as _runtime
         mode = _runtime.get("swt_extract")
+        stride = int(_runtime.get("swt_stride") or 0)
         native_stats = False
         if mode == "native":
             from citlab_as_tpu.geometry.native import native_available
@@ -782,14 +797,14 @@ class DeviceLineFeatures:
                 packed_dev = line_features_batch(
                     dt_s, prob_s, sb_dev, nb_dev,
                     crop_h=self._swt_crop[0], crop_w=self._swt_crop[1],
-                    mxu=(mode == "gather2"))
+                    mxu=(mode == "gather2"), stride=stride)
                 sw_th_dev = sums_dev = None
             else:   # SAT would overflow int32 on huge pages
                 stats_fn = (swt_line_stats_batch_gather2 if mode == "gather2"
                             else swt_line_stats_batch_gather)
                 sw_th_dev = stats_fn(
                     dt_s, sb_dev, crop_h=self._swt_crop[0],
-                    crop_w=self._swt_crop[1])
+                    crop_w=self._swt_crop[1], stride=stride)
                 sums_dev = net_prob_sums_batch(prob_s, nb_dev,
                                                crop_h=self._net_crop[0],
                                                crop_w=self._net_crop[1])

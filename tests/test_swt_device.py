@@ -228,3 +228,42 @@ def test_device_line_features_zero_line_page():
         [np.zeros((0, 4), np.int32), np.asarray([[3, 3, 12, 6]], np.int32)])()
     assert out[0][0].shape == (0,) and out[0][1].shape == (0, 2)
     assert out[1][0].shape == (1,) and out[1][1].shape == (1, 2)
+
+
+@pytest.mark.parametrize("stride", [8, 32])
+def test_stride_capped_fixpoint_exact(stride):
+    """VERDICT r4 item 5 (perf ladder): the stride-capped propagation
+    (CITLAB_SWT_STRIDE) reaches the SAME fixpoint as full-width doubling —
+    the convergence check absorbs the shorter per-sweep reach. Includes a
+    full-crop-width run (an in-crop separator fragment, the case a capped
+    sweep needs extra outer iterations for) and host-oracle parity."""
+    from citlab_as_tpu.ops.swt_device import line_features_batch
+
+    rng = np.random.RandomState(5)
+    h, w = 220, 600
+    dt = _random_dt(rng, h, w)
+    dt[100, :] = 3                      # full-width 1-px run
+    dt[140:143, 30:560] = 2            # long 3-px-tall bar
+    boxes = []                          # bucket contract: bh + 1 <= crop_h
+    for _ in range(17):
+        y, x = rng.randint(0, h - 10), rng.randint(0, w - 10)
+        bh, bw = rng.randint(3, 30), rng.randint(5, 300)
+        boxes.append((x, y, bw, bh))
+    boxes = np.asarray(boxes
+                       + [(0, 90, 599, 20), (20, 130, 550, 20)], np.int32)
+    swt = StrokeWidthDistanceTransform(dark_on_bright=True)
+    host = np.array([swt.textline_features(dt, tuple(b)) for b in boxes])
+
+    dtb = jnp.asarray(dt[None])
+    sb = jnp.asarray(boxes[None])
+    prob = jnp.zeros((1, h, w), jnp.uint8)
+    for mxu in (False, True):
+        full = np.asarray(line_features_batch(
+            dtb, prob, sb, sb, crop_h=32, crop_w=600, mxu=mxu, stride=0))
+        capped = np.asarray(line_features_batch(
+            dtb, prob, sb, sb, crop_h=32, crop_w=600, mxu=mxu,
+            stride=stride))
+        np.testing.assert_array_equal(full, capped)
+        np.testing.assert_allclose(capped[0, :, 1] / 2.0, host[:, 0],
+                                   atol=1e-6)
+        np.testing.assert_allclose(capped[0, :, 2], host[:, 1], atol=1e-6)
