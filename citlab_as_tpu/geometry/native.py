@@ -77,6 +77,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.gk_norm_poly_dists.argtypes = [dp, ip, ctypes.c_int32, ctypes.c_int32, dp, ip]
     lib.gk_delaunay.argtypes = [dp, ctypes.c_int32, ip]
     lib.gk_delaunay.restype = ctypes.c_int32
+    lib.gk_alpha_shape.argtypes = [dp, ctypes.c_int32, ctypes.c_double, ip]
+    lib.gk_alpha_shape.restype = ctypes.c_int32
     u8 = ctypes.POINTER(ctypes.c_uint8)
     lib.gk_separator_post.argtypes = [
         u8, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -339,6 +341,27 @@ def delaunay_native(points: np.ndarray) -> Optional[np.ndarray]:
     if n_tris < 0:
         return None
     return out[:n_tris]
+
+
+def alpha_shape_native(points: np.ndarray,
+                       alpha: float) -> Optional[np.ndarray]:
+    """Boundary vertex INDICES (circle order, not closed) of the alpha
+    shape via gk_alpha_shape — the native twin of geometry/util.alpha_shape
+    incl. the 20% escalation (reference util.py:568-697). None when the
+    kernel is unavailable or the triangulation/escalation degenerates
+    (callers fall back to the Python paths)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(np.asarray(points, np.float64))
+    n = pts.shape[0]
+    if pts.ndim != 2 or pts.shape[1] != 2 or n < 4:
+        return None
+    out = np.empty(6 * n + 8, np.int32)
+    m = lib.gk_alpha_shape(_dp(pts), n, float(alpha), _ip(out))
+    if m < 0:
+        return None
+    return out[:m].copy()
 
 
 def calc_tols_native(normed_polys: Sequence[Polygon], tick_dist: int,

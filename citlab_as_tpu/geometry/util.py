@@ -121,6 +121,17 @@ def alpha_shape(points: np.ndarray, alpha: float) -> List[list]:
         boundary.append(boundary[0])
         return boundary
 
+    # fully-native fast path (gk_alpha_shape: Delaunay + circumradius
+    # filter + unpaired-edge boundary walk + escalation in one C call,
+    # bit-parity tests in tests/test_native.py) — the textregion stage
+    # calls this ~3x per page and the Python tail dominated at ~10 ms/page
+    from citlab_as_tpu.geometry.native import alpha_shape_native
+    idx = alpha_shape_native(points, alpha)
+    if idx is not None:
+        boundary_points = points[idx].tolist()
+        boundary_points.append(boundary_points[0])
+        return boundary_points
+
     # native sweep-circle Delaunay (~20x faster than qhull on the
     # textregion stage's article clouds); scipy on fallback. Any valid
     # Delaunay triangle set yields the same unpaired-edge boundary, so the

@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -686,6 +687,115 @@ int32_t gk_delaunay(const double* points, int32_t n, int32_t* out_tris) {
     if (nt <= 0) return -1;
     std::memcpy(out_tris, d.tri.data(), sizeof(int32_t) * d.tri.size());
     return nt;
+}
+
+// Alpha shape (concave hull) of 2-D points — the native twin of
+// geometry/util.py alpha_shape (reference util.py:568-697): sweep-circle
+// Delaunay, keep triangles with circumradius < alpha, boundary = edges
+// appearing exactly once among kept triangles in first-occurrence scan
+// order, walked into one closed circle; on a degenerate boundary (several
+// circles / vertex used != 2 times / empty) alpha escalates by 20% and the
+// extraction restarts. Identical float64 circumradius math and scan order
+// as the Python paths (parity-tested).
+//
+// out_idx: caller-allocated space for 6n int32 vertex ids. Returns the
+// boundary vertex count (circle order, NOT closed), -1 on degenerate
+// triangulation, -2 if 64 escalations did not converge (callers fall back).
+int32_t gk_alpha_shape(const double* points, int32_t n, double alpha,
+                       int32_t* out_idx) {
+    Delaunator d;
+    d.pts = points;
+    d.n = n;
+    int32_t nt = d.run();
+    if (nt <= 0) return -1;
+    const int32_t* tris = d.tri.data();
+
+    std::vector<double> circum_r((size_t)nt);
+    for (int32_t t = 0; t < nt; ++t) {
+        int32_t i0 = tris[3 * t], i1 = tris[3 * t + 1], i2 = tris[3 * t + 2];
+        double x0 = points[2 * i0], y0 = points[2 * i0 + 1];
+        double x1 = points[2 * i1], y1 = points[2 * i1 + 1];
+        double x2 = points[2 * i2], y2 = points[2 * i2 + 1];
+        double a = std::sqrt((x0 - x1) * (x0 - x1) + (y0 - y1) * (y0 - y1));
+        double b = std::sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2));
+        double c = std::sqrt((x2 - x0) * (x2 - x0) + (y2 - y0) * (y2 - y0));
+        double sp = (a + b + c) / 2.0;
+        double area = std::sqrt(std::max(
+            sp * (sp - a) * (sp - b) * (sp - c), 0.0));
+        circum_r[t] = a * b * c / (4.0 * (area + 1e-8));
+    }
+
+    std::unordered_map<int64_t, int32_t> first;   // canon key -> order slot
+    std::vector<std::pair<int32_t, int32_t>> first_dir;
+    std::vector<int32_t> count;
+    first.reserve((size_t)nt * 3);
+
+    for (int esc = 0; esc < 64; ++esc) {
+        first.clear();
+        first_dir.clear();
+        count.clear();
+        for (int32_t t = 0; t < nt; ++t) {
+            if (!(circum_r[t] < alpha)) continue;
+            int32_t v[4] = {tris[3 * t], tris[3 * t + 1], tris[3 * t + 2],
+                            tris[3 * t]};
+            for (int e = 0; e < 3; ++e) {
+                int32_t u = v[e], w2 = v[e + 1];
+                int64_t key = (u < w2) ? (int64_t)u * n + w2
+                                       : (int64_t)w2 * n + u;
+                auto it = first.find(key);
+                if (it == first.end()) {
+                    first.emplace(key, (int32_t)first_dir.size());
+                    first_dir.emplace_back(u, w2);
+                    count.push_back(1);
+                } else {
+                    count[(size_t)it->second] += 1;
+                }
+            }
+        }
+        std::vector<std::pair<int32_t, int32_t>> edges;
+        for (size_t i = 0; i < first_dir.size(); ++i)
+            if (count[i] == 1) edges.push_back(first_dir[i]);
+
+        bool bad = edges.empty();
+        if (!bad) {
+            // adjacency in edge scan order; every vertex must end at
+            // degree exactly 2 (same escalation triggers as
+            // util.py _order_boundary)
+            std::unordered_map<int32_t, std::pair<int32_t, int32_t>> adj;
+            std::unordered_map<int32_t, int32_t> deg;
+            adj.reserve(edges.size() * 2);
+            deg.reserve(edges.size() * 2);
+            for (auto& e : edges) {
+                int32_t d1 = deg[e.first]++;
+                int32_t d2 = deg[e.second]++;
+                if (d1 >= 2 || d2 >= 2) { bad = true; break; }
+                (d1 == 0 ? adj[e.first].first : adj[e.first].second) = e.second;
+                (d2 == 0 ? adj[e.second].first : adj[e.second].second) = e.first;
+            }
+            if (!bad)
+                for (auto& kv : deg)
+                    if (kv.second != 2) { bad = true; break; }
+            if (!bad) {
+                int32_t start = edges[0].first;
+                int32_t prev = -1, cur = start;
+                size_t m = 0;
+                out_idx[m++] = start;
+                for (;;) {
+                    auto& a2 = adj[cur];
+                    int32_t nxt = (a2.first != prev) ? a2.first : a2.second;
+                    if (nxt == start) break;
+                    out_idx[m++] = nxt;
+                    prev = cur;
+                    cur = nxt;
+                    if (m > edges.size()) { bad = true; break; }
+                }
+                if (!bad && m == edges.size()) return (int32_t)m;
+                bad = true;
+            }
+        }
+        alpha += alpha * 0.2;
+    }
+    return -2;
 }
 
 // Separator-mask post-processing in run space — the host twin of the

@@ -240,3 +240,51 @@ def test_alpha_shape_native_matches_scipy(seed, monkeypatch):
     b_scipy = alpha_shape(pts, alpha=75)
     assert {tuple(p) for p in b_native} == {tuple(p) for p in b_scipy}
     assert len(b_native) == len(b_scipy)
+
+
+@pytest.mark.parametrize("seed", list(range(6)))
+def test_alpha_shape_fully_native_exact(seed, monkeypatch):
+    """gk_alpha_shape (Delaunay + filter + boundary walk + escalation in
+    one C call) vs the Python path ON THE SAME TRIANGULATION: the boundary
+    must match EXACTLY (same points, same order) — both paths share the
+    sweep-circle triangle set, scan order, and escalation rule."""
+    from citlab_as_tpu.geometry import native as native_mod
+    from citlab_as_tpu.geometry.util import alpha_shape
+
+    if not native_mod.native_available():
+        pytest.skip("native kernel unavailable")
+    rng = np.random.RandomState(seed)
+    # article-like clouds at several densities; small alpha values force
+    # escalation rounds in some seeds
+    n_rows = rng.randint(3, 14)
+    rows = [np.stack([np.arange(40) * rng.uniform(20, 60) + rng.rand(40),
+                      np.full(40, r * rng.uniform(40, 90)) + rng.rand(40)], 1)
+            for r in range(n_rows)]
+    pts = np.concatenate(rows)
+    for alpha in (30, 75, 200):
+        b_native = alpha_shape(pts, alpha=alpha)
+
+        def no_native_alpha(points, a):
+            return None
+        monkeypatch.setattr(native_mod, "alpha_shape_native", no_native_alpha)
+        import citlab_as_tpu.geometry.util as util_mod
+        b_python = alpha_shape(pts, alpha=alpha)
+        monkeypatch.undo()
+        assert b_native == b_python, (seed, alpha, len(b_native),
+                                      len(b_python))
+
+
+def test_alpha_shape_native_small_cloud_exact(monkeypatch):
+    """Small clouds route through _alpha_shape_small on the Python side;
+    the native path must agree exactly there too."""
+    from citlab_as_tpu.geometry import native as native_mod
+    from citlab_as_tpu.geometry.util import alpha_shape
+
+    if not native_mod.native_available():
+        pytest.skip("native kernel unavailable")
+    rng = np.random.RandomState(3)
+    pts = np.stack([rng.rand(24) * 300, rng.rand(24) * 100], 1)
+    b_native = alpha_shape(pts, alpha=60)
+    monkeypatch.setattr(native_mod, "alpha_shape_native", lambda p, a: None)
+    b_python = alpha_shape(pts, alpha=60)
+    assert b_native == b_python
