@@ -150,3 +150,23 @@ def test_fault_tolerant_off_raises(tmp_path):
             separator_predictor=sep, heading_predictor=head,
             gnn_predictor=gnn, batch_size=2, fault_tolerant=False,
             separator_fixed_height=512, heading_fixed_height=384)
+
+
+def test_pipelined_driver_isolates_faults_with_pool(tmp_path):
+    """Same broken batch through the pooled host tail (host_workers=2,
+    stages/host_chain.py): pages skipped upstream must never reach the
+    worker pool, and the survivors' outputs stay correct. (The pool's own
+    per-item skip contract is unit-tested in test_workers.py.)"""
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow_pipelined
+
+    image_paths = _make_corpus(tmp_path)
+    corrupt_xml_img, truncated_img = _break_pages(tmp_path, image_paths)
+    sep, head, gnn = _predictors()
+
+    result = run_full_workflow_pipelined(
+        image_paths, out_dir=str(tmp_path / "out"),
+        separator_predictor=sep, heading_predictor=head, gnn_predictor=gnn,
+        force=True, batch_size=2, host_workers=2,
+        separator_fixed_height=512, heading_fixed_height=384)
+    _assert_survivors_ok(result, image_paths, corrupt_xml_img, truncated_img,
+                         tmp_path / "out")
