@@ -76,13 +76,16 @@ _declare(
     "A/B NEGATIVE on the axon tunnel, wins on PCIe-class links).",
     choices=("gather", "gather2", "map", "native"))
 _declare(
-    "swt_stride", "CITLAB_SWT_STRIDE", 0, "int",
+    "swt_stride", "CITLAB_SWT_STRIDE", 16, "int",
     "Doubling-distance cap for the per-line SWT component fixpoint "
     "(ops/swt_device.py): each propagation sweep then reaches ~2*stride-1 "
     "px along a run instead of the full crop width. Glyph runs are short, "
     "so a 16-32 cap cuts the fixpoint's HBM traffic without extra outer "
-    "iterations (exactness is kept by the convergence check either way). "
-    "0 = uncapped full-width doubling.")
+    "iterations (exactness is kept by the convergence check either way; "
+    "on-chip A/B r5: bit-exact at 0/16/32/64). Default 16: on realistic "
+    "text pages timings are within noise of uncapped (41 vs 41 ms/group), "
+    "on noise-percolated worst-case pages it wins ~1.2x (325 -> 263 "
+    "ms/group). 0 = uncapped full-width doubling.")
 _declare(
     "swt_barrier", "CITLAB_SWT_BARRIER", False, "bool",
     "Insert a 4-byte scalar device read before the SWT bulk readback (the "
