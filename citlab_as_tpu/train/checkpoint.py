@@ -87,6 +87,22 @@ def _prune_checkpoints(ckpt_dir: str, keep: int = 2) -> None:
 
 # ---------------------------------------------------------------- best export
 
+_LOWER_IS_BETTER = ("loss",)
+
+
+def is_better(metric_name: str, new: float, best: Optional[float]) -> bool:
+    """Direction-aware best-metric comparison: 'loss' improves downward,
+    everything else (accuracy/precision/recall/f1/auc_*) upward
+    (trainer_base.py:169-189 keys best exports off the eval events the same
+    way)."""
+    if best is None:
+        return True
+    if any(metric_name == m or metric_name.endswith("_" + m)
+           for m in _LOWER_IS_BETTER):
+        return new < best
+    return new > best
+
+
 def export_best(ckpt_dir: str, metric_name: str, state) -> str:
     """Copy the current state to best/<metric>/ (trainer_base.py:169-189)."""
     path = os.path.abspath(os.path.join(ckpt_dir, "best", metric_name))

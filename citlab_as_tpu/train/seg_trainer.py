@@ -104,7 +104,11 @@ class TrainerSegmentation:
         eval_step = jax.jit(make_eval_step(self.model))
 
         history: List[dict] = []
-        best: Dict[str, float] = {}
+        # best-so-far survives resume (current_epoch.info extra), matching
+        # trainer.TrainerBase — a resumed run must not clobber
+        # best/<metric> with a worse post-resume eval
+        best: Dict[str, float] = dict(
+            (info or {}).get("best_metrics", {})) if info else {}
         bad_evals = 0
         for epoch in range(start_epoch, self.flags["epochs"]):
             t0 = time.time()
@@ -132,7 +136,8 @@ class TrainerSegmentation:
                 record.update(metrics)
                 improved = False
                 for metric in self.flags["best_export_metrics"]:
-                    if metric in metrics and metrics[metric] > best.get(metric, -1):
+                    if metric in metrics and ckpt.is_better(
+                            metric, metrics[metric], best.get(metric)):
                         best[metric] = metrics[metric]
                         ckpt.export_best(self.model_dir, metric, eval_params)
                         improved = True
@@ -143,5 +148,6 @@ class TrainerSegmentation:
                         break
             history.append(record)
             ckpt.save_checkpoint(self.model_dir, epoch, state)
-            ckpt.write_epoch_info(self.model_dir, epoch + 1)
+            ckpt.write_epoch_info(self.model_dir, epoch + 1,
+                                  extra={"best_metrics": best})
         return {"state": state, "best_metrics": best, "history": history}

@@ -159,7 +159,13 @@ class TrainerGNN:
                 logger.info("Resuming from epoch %d", start_epoch)
 
         train_step = self._make_train_step()
-        best_metrics: Dict[str, float] = {}
+        # best-so-far survives resume via current_epoch.info (a resumed run
+        # must not clobber best/<metric> with a worse post-resume eval;
+        # trainer_base.py:254-264 persists only the epoch, but its
+        # best-export comparison reads the previously-saved eval events —
+        # the info file is the rebuild's equivalent record)
+        best_metrics: Dict[str, float] = dict(
+            (info or {}).get("best_metrics", {})) if info else {}
         bad_evals = 0
 
         for epoch in range(start_epoch, self.flags["epochs"]):
@@ -188,7 +194,8 @@ class TrainerGNN:
 
                 improved = False
                 for metric in self.flags["best_export_metrics"]:
-                    if metric in metrics and metrics[metric] > best_metrics.get(metric, -1):
+                    if metric in metrics and ckpt.is_better(
+                            metric, metrics[metric], best_metrics.get(metric)):
                         best_metrics[metric] = metrics[metric]
                         ckpt.export_best(self.model_dir, metric, eval_params)
                         improved = True
@@ -200,7 +207,8 @@ class TrainerGNN:
                         break
             self.history.append(record)
             ckpt.save_checkpoint(self.model_dir, epoch, state)
-            ckpt.write_epoch_info(self.model_dir, epoch + 1)
+            ckpt.write_epoch_info(self.model_dir, epoch + 1,
+                                  extra={"best_metrics": best_metrics})
 
         return {"state": state, "best_metrics": best_metrics,
                 "history": self.history}

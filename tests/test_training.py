@@ -165,6 +165,17 @@ def test_best_export_and_epoch_info(tmp_path):
     assert read_epoch_info(str(tmp_path))["current_epoch"] == 5
 
 
+def test_is_better_direction():
+    from citlab_as_tpu.train.checkpoint import is_better
+    assert is_better("f1", 0.5, None)
+    assert is_better("f1", 0.9, 0.5)
+    assert not is_better("f1", 0.4, 0.5)
+    # loss improves DOWNWARD
+    assert is_better("loss", 0.1, 0.5)
+    assert not is_better("loss", 0.9, 0.5)
+    assert is_better("eval_loss", 0.1, 0.5)
+
+
 def test_ema_update():
     ema = {"w": np.zeros(2)}
     params = {"w": np.ones(2)}
@@ -201,9 +212,13 @@ def test_trainer_end_to_end(tmp_path):
     assert len(result["history"]) == 2
     assert "f1" in result["best_metrics"]
     assert os.path.exists(os.path.join(model_dir, "best", "f1"))
-    assert read_epoch_info(model_dir)["current_epoch"] == 2
+    info = read_epoch_info(model_dir)
+    assert info["current_epoch"] == 2
+    # best-so-far is persisted for resume (a resumed run must not clobber
+    # best/f1 with a worse post-resume eval)
+    assert info["best_metrics"]["f1"] == result["best_metrics"]["f1"]
 
-    # resume: third epoch continues from info file
+    # resume: third epoch continues from info file, best carries over
     trainer2 = TrainerGNN(
         model_dir, graphs[:4], graphs[4:],
         flags={"epochs": 3, "samples_per_epoch": 8, "batch_size": 2,
@@ -213,6 +228,7 @@ def test_trainer_end_to_end(tmp_path):
         seed=0)
     result2 = trainer2.train()
     assert result2["history"][0]["epoch"] == 2
+    assert result2["best_metrics"]["f1"] >= result["best_metrics"]["f1"]
 
 
 def test_lav_relation(tmp_path):
