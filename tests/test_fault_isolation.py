@@ -152,6 +152,28 @@ def test_fault_tolerant_off_raises(tmp_path):
             separator_fixed_height=512, heading_fixed_height=384)
 
 
+def test_pipelined_driver_isolates_faults_with_mesh(tmp_path):
+    """Broken batch through the DATA-PARALLEL mesh driver: a skipped page
+    shrinks its group below batch_size*n_data, and the driver must still
+    pad the device batch to the full shard layout (run_full_workflow.py
+    pads by repeating the last image before shard_batch) while the skip
+    list stays correct — the v5e-8 inference shape with faults."""
+    from citlab_as_tpu.cli.run_full_workflow import run_full_workflow_pipelined
+    from citlab_as_tpu.parallel.mesh import make_mesh
+
+    image_paths = _make_corpus(tmp_path)
+    corrupt_xml_img, truncated_img = _break_pages(tmp_path, image_paths)
+    sep, head, gnn = _predictors()
+
+    result = run_full_workflow_pipelined(
+        image_paths, out_dir=str(tmp_path / "out"),
+        separator_predictor=sep, heading_predictor=head, gnn_predictor=gnn,
+        force=True, batch_size=1, mesh=make_mesh(), host_workers=2,
+        separator_fixed_height=512, heading_fixed_height=384)
+    _assert_survivors_ok(result, image_paths, corrupt_xml_img, truncated_img,
+                         tmp_path / "out")
+
+
 def test_pipelined_driver_isolates_faults_with_pool(tmp_path):
     """Same broken batch through the pooled host tail (host_workers=2,
     stages/host_chain.py): pages skipped upstream must never reach the
