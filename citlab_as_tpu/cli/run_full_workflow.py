@@ -51,7 +51,8 @@ def run_full_workflow(image_paths: Sequence[str],
                       separator_fixed_height: int = 1500,
                       heading_fixed_height: int = 900,
                       heading_device_swt: Optional[bool] = None,
-                      fault_tolerant: bool = True) -> dict:
+                      fault_tolerant: bool = True,
+                      clustering_params: Optional[dict] = None) -> dict:
     """Returns {'pages': [...], 'timings': {stage: seconds}}. Predictors may
     be injected directly (tests / custom models); otherwise they are loaded
     from the given model dirs (random-init when None).
@@ -59,7 +60,9 @@ def run_full_workflow(image_paths: Sequence[str],
     autodetection (None = on for accelerator backends).
     ``fault_tolerant=True`` applies the reference's per-page log-and-skip
     contract (see :func:`run_full_workflow_pipelined`); skips are returned
-    under ``'skipped'``."""
+    under ``'skipped'``. ``clustering_params`` overrides the
+    TextblockClustering method defaults (e.g. ``confidence_threshold``;
+    run_gnn_clustering.py:69-72 double-parse equivalent)."""
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
     from citlab_as_tpu.stages.baseline_clustering import cluster_page
     from citlab_as_tpu.stages.features import generate_feature_jsons
@@ -101,7 +104,8 @@ def run_full_workflow(image_paths: Sequence[str],
             image_paths, page_paths, heading_model_dir, gnn_model_dir,
             clustering_method, out_dir, skip_heading, skip_gnn, timings,
             timed, heading_predictor, gnn_predictor, batch_size,
-            heading_fixed_height, heading_device_swt, skipped)
+            heading_fixed_height, heading_device_swt, skipped,
+            clustering_params)
 
 
 def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
@@ -109,7 +113,8 @@ def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
                                skip_heading, skip_gnn, timings, timed,
                                heading_predictor, gnn_predictor, batch_size,
                                heading_fixed_height,
-                               heading_device_swt=None, skipped=None):
+                               heading_device_swt=None, skipped=None,
+                               clustering_params=None):
     """Stages 2-5 of :func:`run_full_workflow`, run inside a page_cache()
     scope: each stage re-reads the page file the previous stage just wrote,
     so the scoped parse memo removes one DOM parse per stage per page
@@ -190,7 +195,8 @@ def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
                 def cluster_chunk(chunk=chunk):
                     clustered.extend(gnn_clustering_for_pages(
                         [t[0] for t in chunk], gnn_predictor,
-                        clustering_method=clustering_method, out_dir=out_dir,
+                        clustering_method=clustering_method,
+                        clustering_params=clustering_params, out_dir=out_dir,
                         page_paths=[t[1] for t in chunk],
                         image_paths=[t[2] for t in chunk]))
                 if skipped is None:
@@ -225,7 +231,9 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                                 heading_device_swt: Optional[bool] = None,
                                 fault_tolerant: bool = True,
                                 mesh=None,
-                                host_workers: int = 0) -> dict:
+                                host_workers: int = 0,
+                                clustering_params: Optional[dict] = None
+                                ) -> dict:
     """Wave-pipelined production driver (accelerator backends).
 
     Four-stage software pipeline over same-shape page groups; TWO big
@@ -281,7 +289,8 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
             separator_fixed_height=separator_fixed_height,
             heading_fixed_height=heading_fixed_height,
             heading_device_swt=heading_device_swt,
-            fault_tolerant=fault_tolerant)
+            fault_tolerant=fault_tolerant,
+            clustering_params=clustering_params)
 
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
     from citlab_as_tpu.stages.baseline_clustering import cluster_page
@@ -521,6 +530,7 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                         clustered_by_path[ip] = gnn_clustering_for_page(
                             json_path, gnn_predictor,
                             clustering_method=clustering_method,
+                            clustering_params=clustering_params,
                             out_dir=out_dir, page_path=pp, image_path=ip,
                             confidences=confs[i])
                     if skipped is None:
@@ -587,7 +597,17 @@ def main(argv: Optional[Sequence[str]] = None):
                         help="fan the host geometry tail (baselines/regions/"
                              "features) over N worker processes (pipelined "
                              "driver only; 0/1 = in-process)")
+    parser.add_argument("--clustering_params", type=str, default=None,
+                        help="key=value[,key=value...] overrides for the "
+                             "TextblockClustering method params, e.g. "
+                             "confidence_threshold=0.6 (the reference's "
+                             "clustering_params dict flag, "
+                             "run_gnn_clustering.py:69-72)")
     args = parser.parse_args(argv)
+    clustering_params = None
+    if args.clustering_params:
+        from citlab_as_tpu.config.flags import parse_dict_flag
+        clustering_params = parse_dict_flag(args.clustering_params)
 
     from citlab_as_tpu.utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()
@@ -604,12 +624,14 @@ def main(argv: Optional[Sequence[str]] = None):
             image_paths, args.separator_model_dir, args.heading_model_dir,
             args.gnn_model_dir, args.clustering_method, args.out_dir,
             batch_size=args.batch_size, mesh=mesh,
-            host_workers=args.host_workers)
+            host_workers=args.host_workers,
+            clustering_params=clustering_params)
     else:
         result = run_full_workflow(
             image_paths, args.separator_model_dir, args.heading_model_dir,
             args.gnn_model_dir, args.clustering_method, args.out_dir,
-            args.skip_heading, args.skip_gnn, batch_size=args.batch_size)
+            args.skip_heading, args.skip_gnn, batch_size=args.batch_size,
+            clustering_params=clustering_params)
     # the pipelined driver records wall-clock under 'total' alongside the
     # per-part keys; summing both would double-count
     timings = result["timings"]

@@ -63,6 +63,22 @@ def _parse_dict_value(val: str) -> Any:
     return _coerce_scalar(s)
 
 
+def parse_dict_flag(spec: str) -> Dict[str, Any]:
+    """Parse a single 'key=value[,key=value...]' string into a coerced dict
+    (the one-argument form of the define_dict syntax; list values are not
+    supported here — use define_dict's space-separated pairs for those)."""
+    out: Dict[str, Any] = {}
+    for kv in spec.split(","):
+        kv = kv.strip()
+        if not kv:
+            continue
+        key, sep, val = kv.partition("=")
+        if not sep:
+            raise ValueError(f"expected key=value, got {kv!r}")
+        out[key.strip()] = _parse_dict_value(val)
+    return out
+
+
 class _StoreDictKeyPair(argparse.Action):
     def __call__(self, parser, namespace, values, option_string=None):
         current = getattr(namespace, self.dest, None)

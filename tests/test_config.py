@@ -1,6 +1,8 @@
 """Flag registry tests (reference semantics: python_util/basic/flags.py)."""
 import logging
 
+import pytest
+
 from citlab_as_tpu.config.flags import Flags, update_params, _parse_dict_value
 
 
@@ -87,3 +89,13 @@ def test_update_params_warns_on_unknown(caplog):
     assert out["alpha"] == 5
     assert out["gamma"] == 9  # merged anyway, as in the reference
     assert any("gamma" in rec.message for rec in caplog.records)
+
+
+def test_parse_dict_flag():
+    from citlab_as_tpu.config.flags import parse_dict_flag
+    out = parse_dict_flag("confidence_threshold=0.6,min_neighbors_for_cluster=2,flag=true, s=x")
+    assert out == {"confidence_threshold": 0.6,
+                   "min_neighbors_for_cluster": 2,
+                   "flag": True, "s": "x"}
+    with pytest.raises(ValueError):
+        parse_dict_flag("noequalsign")
