@@ -468,7 +468,14 @@ def test_blind_e2e_visual_gnn_f1(tmp_path):
     ARU visual backbone, graph_relation.py:84-172 parity): fresh
     multi-article pages, GT ids stripped; RelationPredictor(image_input)
     through run_full_workflow (visual-region feature JSONs + page images
-    reach the net)."""
+    reach the net).
+
+    THREE pages (seeds 31/7/101) go through ONE workflow call and the
+    measure averages over them: single-page AS F1 swings several points on
+    one boundary line (both the r4 and r5 checkpoints scored 1.0 on some
+    seeds and ~0.92 on others), so the quality floor is asserted on the
+    mean — r5 retrain measured mean 0.97 over 5 seeds, min 0.92
+    (ROUND5_NOTES.md) vs the r4 checkpoint's mean 0.93 / min 0.81."""
     import shutil
     import sys
     sys.path.insert(0, REPO)
@@ -479,52 +486,54 @@ def test_blind_e2e_visual_gnn_f1(tmp_path):
     from citlab_as_tpu.pagexml import Page
 
     work = str(tmp_path)
-    rng = np.random.RandomState(31)
-    img, page_path, n_articles = make_article_page(work, "v", rng)
-    assert n_articles >= 3
-
     gt_dir = os.path.join(work, "gt", "page")
     os.makedirs(gt_dir)
-    gt_path = os.path.join(gt_dir, "v.xml")
-    shutil.copy(page_path, gt_path)
-
-    page = Page(page_path)
-    tls = page.get_textlines()
-    for tl in tls:
-        tl.set_article_id(None)
-    page.set_textline_attr(tls)
-    page.write_page_xml(page_path)
+    imgs, gt_paths = [], []
+    for seed in (31, 7, 101):
+        rng = np.random.RandomState(seed)
+        img, page_path, n_articles = make_article_page(work, f"v{seed}", rng)
+        assert n_articles >= 3
+        gt_path = os.path.join(gt_dir, f"v{seed}.xml")
+        shutil.copy(page_path, gt_path)
+        page = Page(page_path)
+        tls = page.get_textlines()
+        for tl in tls:
+            tl.set_article_id(None)
+        page.set_textline_attr(tls)
+        page.write_page_xml(page_path)
+        imgs.append(img)
+        gt_paths.append(gt_path)
 
     gnn = RelationPredictor(
         GNN_VISUAL_CKPT, image_input=True, visual_backbone="ARU_cutted_v1",
         image_min_dimension=288, image_max_dimension=384)
     result = run_full_workflow(
-        [img], separator_model_dir=SEP_CKPT, heading_model_dir=HEAD_CKPT,
+        imgs, separator_model_dir=SEP_CKPT, heading_model_dir=HEAD_CKPT,
         gnn_predictor=gnn, clustering_method="dbscan",
         out_dir=os.path.join(work, "out"))
     gt_lst = os.path.join(work, "gt.lst")
     hy_lst = os.path.join(work, "hy.lst")
-    open(gt_lst, "w").write(gt_path + "\n")
-    open(hy_lst, "w").write(result["clustered"][0] + "\n")
+    open(gt_lst, "w").write("\n".join(gt_paths) + "\n")
+    open(hy_lst, "w").write("\n".join(result["clustered"]) + "\n")
     out = measure_main(["--path_to_gt_xml_lst", gt_lst,
                         "--path_to_hy_xml_lst", hy_lst,
                         "--min_tol", "10", "--max_tol", "30"])
     as_r, as_p, as_f = out["as"]
-    # measured ~0.89+ with the ARU_cutted visual backbone (PARITY.md)
-    assert as_f > 0.85, f"visual-GNN AS F1 {as_f} too low (R={as_r}, P={as_p})"
+    assert as_f > 0.95, f"visual-GNN AS F1 {as_f} too low (R={as_r}, P={as_p})"
 
     # guard against a degenerate (constant-output) net passing vacuously on
     # pages whose DBSCAN regions are already article-pure: the confidence
     # matrix must discriminate (same-article pairs high, spread present)
     import glob
     import json as _json
-    json_files = glob.glob(os.path.join(work, "json*", "*.json"))
+    json_files = sorted(glob.glob(os.path.join(work, "json*", "*.json")))
     assert json_files, "feature JSONs missing"
-    with open(json_files[0]) as f:
+    jf = next(p for p in json_files if "v31" in os.path.basename(p))
+    with open(jf) as f:
         graph = _json.load(f)
     from citlab_as_tpu.utils.io import load_image
     confs = gnn.confidences(graph, image=np.asarray(
-        load_image(img, mode="L")))
+        load_image(imgs[0], mode="L")))
     n = int(graph["num_nodes"])
     off_diag = confs[~np.eye(n, dtype=bool)]
     # the collapsed round-1 net emitted a CONSTANT matrix (spread ~1e-8);
