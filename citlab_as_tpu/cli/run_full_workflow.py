@@ -66,7 +66,6 @@ def run_full_workflow(image_paths: Sequence[str],
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
     from citlab_as_tpu.stages.baseline_clustering import cluster_page
     from citlab_as_tpu.stages.features import generate_feature_jsons
-    from citlab_as_tpu.stages.gnn_io import gnn_clustering_for_pages
     from citlab_as_tpu.stages.heading import HeadingNetPostProcessor
     from citlab_as_tpu.stages.separator import SeparatorNetPostProcessor
     from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
@@ -79,6 +78,9 @@ def run_full_workflow(image_paths: Sequence[str],
         timings[name] = timings.get(name, 0.0) + time.time() - t0
         logger.info("stage %s: %.2fs", name, timings[name])
         return out
+
+    from citlab_as_tpu.config import runtime
+    runtime.validate()     # bad CITLAB_* values fail fast, not per page
 
     from citlab_as_tpu.utils.faults import SkippedPages
     skipped = SkippedPages() if fault_tolerant else None
@@ -125,7 +127,6 @@ def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
     from citlab_as_tpu.inference import RelationPredictor, SegmentationPredictor
     from citlab_as_tpu.stages.baseline_clustering import cluster_page
     from citlab_as_tpu.stages.features import generate_feature_jsons
-    from citlab_as_tpu.stages.gnn_io import gnn_clustering_for_pages
     from citlab_as_tpu.stages.heading import HeadingNetPostProcessor
     from citlab_as_tpu.stages.textregion import generate_text_regions_for_page
 
@@ -188,25 +189,40 @@ def _run_post_separator_stages(image_paths, page_paths, heading_model_dir,
 
         def run_gnn():
             # ONE relation-net forward per page group (union-graph batching)
-            # instead of a dispatch+readback round trip per page
+            # instead of a dispatch+readback round trip per page; the
+            # clustering/write guard is PER PAGE (one failing page must not
+            # mark its chunk-mates skipped after their XML is written)
+            from citlab_as_tpu.stages.gnn_io import (
+                gnn_clustering_for_page, gnn_confidences_dispatch)
             for start in range(0, len(triples), batch_size):
                 chunk = triples[start:start + batch_size]
 
-                def cluster_chunk(chunk=chunk):
-                    clustered.extend(gnn_clustering_for_pages(
+                def dispatch(chunk=chunk):
+                    _, materialize = gnn_confidences_dispatch(
                         [t[0] for t in chunk], gnn_predictor,
-                        clustering_method=clustering_method,
-                        clustering_params=clustering_params, out_dir=out_dir,
-                        page_paths=[t[1] for t in chunk],
-                        image_paths=[t[2] for t in chunk]))
+                        image_paths=[t[2] for t in chunk])
+                    return materialize()
                 if skipped is None:
-                    cluster_chunk()
+                    confs = dispatch()
                 else:
                     try:
-                        cluster_chunk()
+                        confs = dispatch()
                     except Exception as e:  # noqa: BLE001 - skip contract
                         for _json, _pp, ip in chunk:
-                            skipped.record(ip, "gnn_clustering", e)
+                            skipped.record(ip, "gnn_dispatch", e)
+                        continue
+                for i, (json_path, pp, ip) in enumerate(chunk):
+                    def cluster_one(i=i, json_path=json_path, pp=pp, ip=ip):
+                        clustered.append(gnn_clustering_for_page(
+                            json_path, gnn_predictor,
+                            clustering_method=clustering_method,
+                            clustering_params=clustering_params,
+                            out_dir=out_dir, page_path=pp, image_path=ip,
+                            confidences=confs[i]))
+                    if skipped is None:
+                        cluster_one()
+                    else:
+                        skipped.guard(ip, "gnn_clustering", cluster_one)
         timed("gnn_clustering", run_gnn)
 
     return {"pages": all_page_paths, "clustered": clustered,
@@ -278,6 +294,9 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
     import time as _time
 
     import jax
+
+    from citlab_as_tpu.config import runtime
+    runtime.validate()     # bad CITLAB_* values fail fast, not per page
 
     if jax.default_backend() == "cpu" and not force:
         return run_full_workflow(
@@ -458,6 +477,13 @@ def run_full_workflow_pipelined(image_paths: Sequence[str],
                                        RuntimeError(
                                            "host_chain worker error "
                                            "(see worker log)"))
+                elif pool_skipped:
+                    # fault_tolerant=False promises raise-through — worker
+                    # failures must not silently drop pages from the output
+                    raise RuntimeError(
+                        "host_chain worker error on "
+                        + ", ".join(i["image_path"] for i in pool_skipped)
+                        + " (fault_tolerant=False; see worker log)")
                 json_by_page = {item["page_path"]: val
                                 for item, val in results if val}
                 # None values = features legitimately skipped the page

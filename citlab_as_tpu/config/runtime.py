@@ -112,7 +112,10 @@ _declare(
 _declare(
     "native_geometry", "CITLAB_AS_TPU_NATIVE", True, "bool",
     "Load the C++ geometry kernel (native/geometry_kernel.cpp) via ctypes; "
-    "=0 forces the pure-numpy fallbacks everywhere (parity testing).")
+    "=0 forces the pure-numpy fallbacks everywhere (parity testing). "
+    "FIRST-USE LATCHED: the .so load attempt happens once per process, so "
+    "set()/env changes after any geometry call have no effect (a shared "
+    "library cannot be unloaded).")
 _declare(
     "bench_driver", "CITLAB_BENCH_DRIVER", "pipelined", "choice",
     "Workflow driver used by bench.py: 'pipelined' (4-deep wave pipeline, "
@@ -145,7 +148,11 @@ def get(name: str) -> Any:
         return sw.parse_env(raw)
     fv = _flags_value(name)
     if fv is not None:
-        return fv
+        # tristate switches register as string flags, so the parsed value
+        # needs the same normalization as an env string —
+        # `--citlab_hold_device_buffers false` must not come back as the
+        # truthy str 'false'
+        return sw.parse_env(fv) if isinstance(fv, str) else fv
     return sw.default
 
 
@@ -177,6 +184,22 @@ def source(name: str) -> str:
 def active() -> Dict[str, Any]:
     """The fully resolved switch set (for the BENCH JSON / logs)."""
     return {name: get(name) for name in _SWITCHES}
+
+
+def validate() -> None:
+    """Resolve every switch once, so a bad CITLAB_* value (e.g. a typo in a
+    choice switch) fails FAST at startup instead of erroring per page inside
+    the drivers' fault-tolerant loops — where it would be recorded as a
+    per-page skip and turn a config typo into a silently empty run."""
+    errors = []
+    for name, sw in _SWITCHES.items():
+        try:
+            get(name)
+        except Exception as e:  # noqa: BLE001 - collected and re-raised
+            errors.append(f"{sw.env}={os.environ.get(sw.env)!r}: {e}")
+    if errors:
+        raise ValueError("invalid runtime switch value(s): "
+                         + "; ".join(errors))
 
 
 def register_flags(flags=None) -> None:

@@ -21,20 +21,22 @@ from __future__ import annotations
 import os
 
 _HELD: list = []
-_ENABLED: bool | None = None
+_AUTO: bool | None = None
 
 
 def _enabled() -> bool:
-    global _ENABLED
-    if _ENABLED is None:
-        from citlab_as_tpu.config import runtime
-        val = runtime.get("hold_device_buffers")
-        if val == "auto":
+    # resolved on EVERY call so runtime.set()/env precedence holds at any
+    # point in the process (only the backend probe for 'auto' is cached —
+    # the backend cannot change once initialized)
+    from citlab_as_tpu.config import runtime
+    val = runtime.get("hold_device_buffers")
+    if val == "auto":
+        global _AUTO
+        if _AUTO is None:
             import jax
-            _ENABLED = jax.default_backend() != "cpu"
-        else:
-            _ENABLED = bool(val)
-    return _ENABLED
+            _AUTO = jax.default_backend() != "cpu"
+        return _AUTO
+    return bool(val)
 
 
 def hold(*arrays) -> None:

@@ -162,7 +162,7 @@ def _propagate_step_stack(vals: jnp.ndarray, fg: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("max_iters", "stride"))
 def component_stats_u16(crops_dt: jnp.ndarray, fg: jnp.ndarray,
-                        max_iters: int = 64, stride: int = 0):
+                        max_iters: int = 0, stride: int = 0):
     """uint16 merged-stack variant of :func:`component_stats` — identical
     results, ~2-3x less HBM traffic (the fixpoint is bandwidth-bound):
 
@@ -174,6 +174,15 @@ def component_stats_u16(crops_dt: jnp.ndarray, fg: jnp.ndarray,
     - uint16 halves the bytes of int32.
     """
     l, h, w = crops_dt.shape
+    if not max_iters:
+        # pure SAFETY net, not the expected trip count (the convergence
+        # check exits in a handful of sweeps on text crops): each
+        # non-converged sweep advances every front >= 1 px along its
+        # 8-connected path, and no path exceeds h*w, so h*w iterations
+        # guarantee the exact fixpoint for ANY component shape — including
+        # serpentine paths that a fixed 64 cap could truncate silently
+        # when ``stride`` shortens the per-sweep run reach
+        max_iters = h * w
     yy = jax.lax.broadcasted_iota(jnp.int32, (l, h, w), 1)
     xx = jax.lax.broadcasted_iota(jnp.int32, (l, h, w), 2)
     flat = yy * w + xx
@@ -205,7 +214,7 @@ def component_stats_u16(crops_dt: jnp.ndarray, fg: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("max_iters",))
 def component_stats(crops_dt: jnp.ndarray, fg: jnp.ndarray,
-                    max_iters: int = 64):
+                    max_iters: int = 0):
     """Per-pixel per-component aggregates for a stack of crops.
 
     ``crops_dt``: [L, H, W] int32 DT values; ``fg``: [L, H, W] bool.
@@ -213,6 +222,8 @@ def component_stats(crops_dt: jnp.ndarray, fg: jnp.ndarray,
     component's max x / min x / max y, at every foreground pixel.
     """
     l, h, w = crops_dt.shape
+    if not max_iters:
+        max_iters = h * w        # safety net only; see component_stats_u16
     yy = jax.lax.broadcasted_iota(jnp.int32, (l, h, w), 1)
     xx = jax.lax.broadcasted_iota(jnp.int32, (l, h, w), 2)
     flat = yy * w + xx
@@ -277,7 +288,7 @@ def _bbox_max(crops: jnp.ndarray, fg: jnp.ndarray, mny: jnp.ndarray,
         return nv, jnp.any(nv != v), it + 1
 
     r, _, _ = jax.lax.while_loop(
-        lambda c: c[1] & (c[2] < 64), body, (r, jnp.bool_(True), 0))
+        lambda c: c[1] & (c[2] < h * w), body, (r, jnp.bool_(True), 0))
     return r[0].astype(jnp.int32)
 
 

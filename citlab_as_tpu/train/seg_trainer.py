@@ -83,10 +83,12 @@ class TrainerSegmentation:
 
         info = ckpt.read_epoch_info(self.model_dir)
         start_epoch = 0
+        resumed = False
         if info:
             state, restored = ckpt.restore_checkpoint(self.model_dir, state)
             if restored is not None:
                 start_epoch = info["current_epoch"]
+                resumed = True
                 logger.info("Resuming segmentation training from epoch %d", start_epoch)
 
         base_step = make_train_step(self.model, self.optimizer)
@@ -105,10 +107,12 @@ class TrainerSegmentation:
 
         history: List[dict] = []
         # best-so-far survives resume (current_epoch.info extra), matching
-        # trainer.TrainerBase — a resumed run must not clobber
-        # best/<metric> with a worse post-resume eval
+        # trainer.TrainerGNN — a resumed run must not clobber
+        # best/<metric> with a worse post-resume eval; seeded only when the
+        # checkpoint actually restored (stale info without checkpoints must
+        # not suppress a fresh run's exports)
         best: Dict[str, float] = dict(
-            (info or {}).get("best_metrics", {})) if info else {}
+            info.get("best_metrics", {})) if resumed else {}
         bad_evals = 0
         for epoch in range(start_epoch, self.flags["epochs"]):
             t0 = time.time()

@@ -152,10 +152,12 @@ class TrainerGNN:
         # resume
         info = ckpt.read_epoch_info(self.model_dir)
         start_epoch = 0
+        resumed = False
         if info:
             state, restored = ckpt.restore_checkpoint(self.model_dir, state)
             if restored is not None:
                 start_epoch = info["current_epoch"]
+                resumed = True
                 logger.info("Resuming from epoch %d", start_epoch)
 
         train_step = self._make_train_step()
@@ -163,9 +165,13 @@ class TrainerGNN:
         # must not clobber best/<metric> with a worse post-resume eval;
         # trainer_base.py:254-264 persists only the epoch, but its
         # best-export comparison reads the previously-saved eval events —
-        # the info file is the rebuild's equivalent record)
+        # the info file is the rebuild's equivalent record). Seeded ONLY
+        # when the checkpoint actually restored: a fresh run into a dir
+        # holding a stale info file (numeric checkpoints pruned, best/
+        # export kept) must not inherit a phantom best that suppresses
+        # every export.
         best_metrics: Dict[str, float] = dict(
-            (info or {}).get("best_metrics", {})) if info else {}
+            info.get("best_metrics", {})) if resumed else {}
         bad_evals = 0
 
         for epoch in range(start_epoch, self.flags["epochs"]):

@@ -150,3 +150,45 @@ def test_no_stray_citlab_env_lookups_outside_config():
             if re.search(r"environ(\.get)?\(\s*['\"]CITLAB", src):
                 bad.append(path)
     assert not bad, bad
+
+
+def test_flag_value_normalized_like_env(monkeypatch):
+    """Tristate switches register as string flags; the parsed value must go
+    through the same normalization as env strings — '--citlab_hold_device_
+    buffers false' must not come back as the truthy str 'false'."""
+    from citlab_as_tpu.config.flags import FLAGS
+    monkeypatch.delenv("CITLAB_HOLD_DEVICE_BUFFERS", raising=False)
+    saved = (dict(FLAGS.__dict__["_values"]), FLAGS.__dict__["_parsed"])
+    try:
+        FLAGS.__dict__["_values"]["citlab_hold_device_buffers"] = "false"
+        FLAGS.__dict__["_parsed"] = True
+        assert runtime.get("hold_device_buffers") is False
+        FLAGS.__dict__["_values"]["citlab_hold_device_buffers"] = "auto"
+        assert runtime.get("hold_device_buffers") == "auto"
+    finally:
+        FLAGS.__dict__["_values"].clear()
+        FLAGS.__dict__["_values"].update(saved[0])
+        FLAGS.__dict__["_parsed"] = saved[1]
+
+
+def test_device_hold_follows_runtime_set(monkeypatch):
+    """device_hold must re-resolve the switch on every call (no first-use
+    latch): a set() AFTER a prior use must take effect."""
+    monkeypatch.delenv("CITLAB_HOLD_DEVICE_BUFFERS", raising=False)
+    from citlab_as_tpu.ops import device_hold
+    device_hold.release()
+    runtime.set("hold_device_buffers", True)
+    device_hold.hold(object())
+    assert device_hold.held_count() == 1
+    runtime.set("hold_device_buffers", False)
+    device_hold.hold(object())
+    assert device_hold.held_count() == 1      # second hold was a no-op
+    device_hold.release()
+
+
+def test_validate_fails_fast_on_bad_env(monkeypatch):
+    monkeypatch.setenv("CITLAB_SEP_POST", "natve")     # typo
+    with pytest.raises(ValueError, match="CITLAB_SEP_POST"):
+        runtime.validate()
+    monkeypatch.setenv("CITLAB_SEP_POST", "native")
+    runtime.validate()                                 # clean passes

@@ -267,3 +267,34 @@ def test_stride_capped_fixpoint_exact(stride):
         np.testing.assert_allclose(capped[0, :, 1] / 2.0, host[:, 0],
                                    atol=1e-6)
         np.testing.assert_allclose(capped[0, :, 2], host[:, 1], atol=1e-6)
+
+
+def test_serpentine_component_converges_capped():
+    """A serpentine component whose internal 8-connected path is far longer
+    than 64 * stride px: the fixpoint's iteration bound must be a pure
+    safety net (h*w), not a fixed 64 — with stride=8 and ~20 full-width
+    switchback rows the old cap truncated propagation mid-path and returned
+    silently wrong per-component stats."""
+    from citlab_as_tpu.ops.swt_device import component_stats_u16
+
+    h, w = 42, 400
+    dt = np.zeros((h, w), np.int32)
+    # switchback snake: full-width rows joined alternately at the ends
+    for i, y in enumerate(range(0, h, 2)):
+        dt[y, :] = 1
+        if y + 2 < h:
+            dt[y + 1, w - 1 if i % 2 == 0 else 0] = 1
+    crops = jnp.asarray(dt[None])
+    fg = crops > 0
+    lab0, mxx0, mnx0, mxy0 = (np.asarray(a) for a in
+                              component_stats_u16(crops, fg, stride=0))
+    lab8, mxx8, mnx8, mxy8 = (np.asarray(a) for a in
+                              component_stats_u16(crops, fg, stride=8))
+    # ONE component: every fg pixel agrees on root/extents in both modes
+    m = dt > 0
+    assert np.unique(lab0[0][m]).size == 1
+    np.testing.assert_array_equal(lab0[0][m], lab8[0][m])
+    np.testing.assert_array_equal(mxx0[0][m], mxx8[0][m])
+    np.testing.assert_array_equal(mnx0[0][m], mnx8[0][m])
+    np.testing.assert_array_equal(mxy0[0][m], mxy8[0][m])
+    assert mxx8[0][m].max() == w - 1 and mxy8[0][m].max() == h - 2

@@ -300,3 +300,28 @@ def test_input_gnn_visual_batches(tmp_path):
     loss = relation_loss(logits, jb["relations_to_consider_gt"],
                          jb["num_relations_to_consider"])
     assert np.isfinite(float(loss))
+
+
+def test_stale_info_does_not_suppress_best_export(tmp_path):
+    """A model_dir holding a leftover current_epoch.info (with a high
+    best_metrics) but NO numeric checkpoints is a fresh run: the phantom
+    best must not suppress best/<metric> exports."""
+    import json
+    (tmp_path / "data").mkdir(exist_ok=True)
+    graphs = _write_graph_jsons(tmp_path / "data", n_graphs=6)
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    with open(model_dir / "current_epoch.info", "w") as f:
+        json.dump({"current_epoch": 40, "best_metrics": {"f1": 0.999}}, f)
+    trainer = TrainerGNN(
+        str(model_dir), graphs[:4], graphs[4:],
+        flags={"epochs": 1, "samples_per_epoch": 8, "batch_size": 2,
+               "eval_every_n": 1, "best_export_metrics": ["f1"],
+               "num_classes": 2},
+        input_params={"sample_num_relations_to_consider": 16,
+                      "node_buckets": [8], "edge_buckets": [32]},
+        seed=0)
+    result = trainer.train()
+    assert result["history"][0]["epoch"] == 0          # fresh, not resumed
+    assert "f1" in result["best_metrics"]              # export happened
+    assert os.path.exists(os.path.join(str(model_dir), "best", "f1"))
