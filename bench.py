@@ -135,6 +135,35 @@ class HostLoadMonitor:
                                           for s in self.samples)}
 
 
+# Reference seconds for the calibration workload below, measured on the
+# round-5 bench host (1-core 2.1 GHz Xeon, load1 < 0.1). host_speed_index =
+# REF / measured: 1.0 on that machine, > 1 on a faster host, < 1 on a slower
+# one. The e2e wall is host-bound on 1 core, so cross-day pages/s numbers
+# divide by this index to compare code generations (round-4's 20.26 was
+# measured on a host that calibrates ~1.4x faster than round-5's).
+HOST_SPEED_REF_S = 0.383
+
+
+def host_speed_calibration(reps: int = 3) -> float:
+    """Fixed host workload shaped like the pipeline's host tail (pure-Python
+    loop + small-matrix numpy), best-of-``reps`` seconds. Detects a slower
+    machine class / hypervisor throttling that the load-average guard cannot
+    see (load was quiet both rounds; the CPU itself differed)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(2_000_000):
+            s += i * i
+        rng = np.random.RandomState(0)
+        a = rng.rand(256, 256)
+        for _ in range(60):
+            a = a @ a
+            a /= np.abs(a).max() + 1.0
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_e2e():
     run_full_workflow = _driver()
 
@@ -266,6 +295,8 @@ def _emit(e2e_pages_s, stages, fwd_pages_s, mpix_s, edge_preds_s,
             "north_star_pages_per_s_per_chip": NORTH_STAR_PER_CHIP,
             "device": str(jax.devices()[0]),
             "runtime_switches": runtime.active(),
+            "host_speed_calib_s": round(calib_s := host_speed_calibration(), 3),
+            "host_speed_index": round(HOST_SPEED_REF_S / calib_s, 3),
             **host,
         },
     }), flush=True)

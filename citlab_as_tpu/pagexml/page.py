@@ -413,7 +413,15 @@ class Page:
         for child in meta_nd:
             by_name.setdefault(etree.QName(child.tag).localname, child)
         by_name[C.LAST_CHANGE_ELT].text = _utc_now()
+        # only Metadata children change here — a fresh textlines snapshot
+        # stays valid (every write_page_xml goes through set_metadata, so
+        # without this each stage's save would force the next stage into a
+        # full ~3 ms/page textline re-derivation)
+        tl_fresh = (getattr(self, "_textlines_gen", -1) == self._dom_gen
+                    and hasattr(self, "_textlines_snap"))
         self.mark_dom_mutated()
+        if tl_fresh:
+            self._textlines_gen = self._dom_gen
         if comments is not None:
             comments_nd = by_name.get(C.COMMENTS_ELT)
             if comments_nd is None:
@@ -572,7 +580,19 @@ class Page:
         self.textlines = self.get_textlines()
 
     def set_textline_attr(self, textlines) -> None:
-        """Write each TextLine object's custom dict back to its DOM node."""
+        """Write each TextLine object's custom dict back to its DOM node.
+
+        When every written object is a member of the live ``textlines``
+        snapshot (the pipeline's usual case: mutate snapshot objects, then
+        persist), the snapshot still mirrors the DOM afterwards — only
+        ``tl.custom`` was copied over — so it stays valid and the next
+        stage skips a full re-derivation (~3 ms/page on the bench host).
+        """
+        snap_fresh = (getattr(self, "_textlines_gen", -1) == self._dom_gen
+                      and hasattr(self, "_textlines_snap"))
+        snap_ids = ({id(tl) for tl in self._textlines_snap}
+                    if snap_fresh else ())
+        wrote_snapshot_members = snap_fresh
         by_id = {nd.get("id"): nd
                  for nd in self.get_child_by_name(self.page_doc, C.TEXTLINE)}
         for tl in textlines:
@@ -581,6 +601,10 @@ class Page:
                 logger.warning("TextLine %s not found in document.", tl.id)
                 continue
             self.set_custom_attr_from_dict(nd, tl.custom)
+            if wrote_snapshot_members and id(tl) not in snap_ids:
+                wrote_snapshot_members = False
+        if wrote_snapshot_members:
+            self._textlines_gen = self._dom_gen
 
     def set_text_lines(self, text_region, text_lines, overwrite=False) -> None:
         """Replace/append the text lines of one region and refresh the

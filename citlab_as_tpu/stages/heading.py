@@ -269,8 +269,12 @@ class HeadingNetPostProcessor:
 
             if conf > self.threshold:
                 nd = page_object.get_child_by_id(page_object.page_doc, tl.id)[0]
-                page_object.set_custom_attr(
-                    nd, "structure", "semantic_type", TextRegionTypes.HEADING)
+                # mirror the write into the snapshot object so the textlines
+                # snapshot stays coherent with the DOM (re-validated below —
+                # saves downstream stages a full re-derivation)
+                tl.custom.setdefault("structure", {})[
+                    "semantic_type"] = str(TextRegionTypes.HEADING)
+                page_object.set_custom_attr_from_dict(nd, tl.custom)
 
         for text_region in page_object.get_text_regions():
             nd = page_object.get_child_by_id(page_object.page_doc, text_region.id)[0]
@@ -282,8 +286,12 @@ class HeadingNetPostProcessor:
                 if tl.custom.get("structure", {}).get("semantic_type") == TextRegionTypes.HEADING)
             if n_headings / len(text_region.text_lines) >= self.text_line_percentage:
                 nd.set("type", TextRegionTypes.HEADING)
-        # region @type edits above bypass the Page API: invalidate snapshots
+        # region @type edits above bypass the Page API: invalidate snapshots.
+        # The per-line semantic_type writes were mirrored into the snapshot
+        # objects themselves (text_lines IS the snapshot at both call sites),
+        # so re-validate it — region @type lives outside the snapshot.
         page_object.mark_dom_mutated()
+        page_object.textlines = text_lines
 
     # ------------------------------------------------------------------
     def run(self) -> List:

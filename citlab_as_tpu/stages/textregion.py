@@ -132,6 +132,18 @@ def save_results_in_pagexml(path_to_pagexml: str, text_region_txtline_dict: dict
             custom={"readingOrder": {"index": reading_order}},
             points=boundary, text_lines=txtlines))
     page_file.set_text_regions(regions, overwrite=True)
+    # the region tree was rebuilt from these same TextLine objects, so the
+    # textlines snapshot can be refreshed without a DOM re-walk (saves the
+    # next stage a full re-derivation). Serialization skips lines without a
+    # surrounding polygon (TextLine.to_page_xml_node), mirrored here; the id
+    # sequence check guards the exotic case of textlines living outside the
+    # rebuilt TextRegions (e.g. table cells), where the refresh would lie.
+    snap = [tl for _, (_, txtlines, _) in text_region_txtline_dict.items()
+            for tl in txtlines if tl.surr_p]
+    dom_ids = [nd.get("id") for nd in page_file.get_child_by_name(
+        page_file.page_doc, "TextLine")]
+    if dom_ids == [tl.id for tl in snap]:
+        page_file.textlines = snap
     page_file.write_page_xml(path_to_pagexml)
 
 

@@ -280,6 +280,42 @@ def test_page_cache_snapshot_freshness(tmp_path):
         assert "zz" in stage2.get_article_dict()
 
 
+def test_snapshot_survives_attr_write_and_save(tmp_path):
+    """The pipeline pattern — mutate snapshot members' custom dicts, persist
+    via set_textline_attr, save — must keep the textlines snapshot valid
+    (no DOM re-derivation in the next stage) AND keep DOM == snapshot."""
+    from citlab_as_tpu.pagexml.page import Page, page_cache
+
+    p = tmp_path / "s.xml"
+    p.write_text(SAMPLE)
+
+    with page_cache():
+        stage1 = Page(str(p))
+        tls = stage1.textlines           # the live snapshot
+        assert tls
+        for i, tl in enumerate(tls):
+            tl.custom.setdefault("structure", {})["id"] = f"a{i + 1}"
+            tl.custom["structure"]["type"] = "article"
+        stage1.set_textline_attr(tls)    # snapshot members: stays valid
+        stage1.write_page_xml(str(p))    # set_metadata must not invalidate
+        stage2 = Page(str(p))
+        assert stage2 is stage1
+        assert stage2.textlines is tls   # same list object: no re-derive
+        # writing NON-snapshot objects must still invalidate
+        fresh = stage2.get_textlines()
+        fresh[0].custom["structure"]["id"] = "zz"
+        stage2.set_textline_attr([fresh[0]])
+        assert stage2.textlines is not tls
+        assert stage2.textlines[0].get_article_id() == "zz"
+        stage2.write_page_xml(str(p))
+
+    # cold re-parse sees exactly what the snapshot said
+    reloaded = Page(str(p))
+    ids = [tl.get_article_id() for tl in reloaded.textlines]
+    assert ids[0] == "zz"
+    assert ids[1:] == [f"a{i + 1}" for i in range(1, len(ids))]
+
+
 # ---------------- validation reject matrix ----------------
 # Deliberately broken documents the reference's Transkribus XSD pass would
 # reject (page.py:49-65 + schemas); BOTH the vendored-XSD validator and the
