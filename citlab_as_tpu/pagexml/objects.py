@@ -73,12 +73,26 @@ class Points:
     (page_objects.py:55-81)."""
 
     def __init__(self, points_list: Sequence[Tuple[int, int]]):
+        if isinstance(points_list, Points):
+            # share the (immutable-by-convention) list: Points(points) is a
+            # no-conversion pass-through for already-wrapped coordinates
+            self.points_list = points_list.points_list
+            return
         self.points_list: List[Tuple[int, int]] = [
             (int(x), int(y)) for x, y in points_list]
 
     @classmethod
+    def _trusted(cls, parsed: List[Tuple[int, int]]) -> "Points":
+        """Wrap a parser-produced ``[(int, int), ...]`` without the int()
+        re-conversion pass (string_to_points already yields exact ints —
+        the double conversion cost ~8k calls/page-group in the pipeline)."""
+        obj = cls.__new__(cls)
+        obj.points_list = parsed
+        return obj
+
+    @classmethod
     def from_string(cls, s: str) -> "Points":
-        return cls(string_to_points(s))
+        return cls._trusted(string_to_points(s))
 
     def to_string(self) -> str:
         return " ".join(f"{x},{y}" for x, y in self.points_list)

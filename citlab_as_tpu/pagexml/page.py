@@ -19,9 +19,15 @@ from lxml import etree
 
 from citlab_as_tpu.pagexml import constants as C
 from citlab_as_tpu.pagexml.objects import (
-    REGIONS_DICT, PageXmlError, TextLine, TextRegion, Word,
+    REGIONS_DICT, PageXmlError, Points, TextLine, TextRegion, Word,
     format_custom_attr, parse_custom_attr, string_to_points,
 )
+
+
+def _trusted_points(parsed):
+    """Wrap a get_point_list result (already exact int tuples) so the
+    TextLine/Word/Region constructors skip their int() re-conversion."""
+    return Points._trusted(parsed) if parsed is not None else None
 
 logger = logging.getLogger(__name__)
 
@@ -486,8 +492,8 @@ class Page:
             tr_type = nd.get("type") or C.TextRegionTypes.PARAGRAPH
             if text_region_type is not None and tr_type != text_region_type:
                 continue
-            coords = self.get_point_list(
-                self.get_child_by_name(nd, C.COORDS)[0].get(C.POINTS_ATTR))
+            coords = _trusted_points(self.get_point_list(
+                self.get_child_by_name(nd, C.COORDS)[0].get(C.POINTS_ATTR)))
             res.append(TextRegion(
                 nd.get("id"), parse_custom_attr(nd.get(C.CUSTOM_ATTR)), coords,
                 self.get_textlines(nd), tr_type))
@@ -507,8 +513,8 @@ class Page:
                 res[r_name] = [
                     r_class(
                         nd.get("id"), parse_custom_attr(nd.get(C.CUSTOM_ATTR)),
-                        self.get_point_list(
-                            self.get_child_by_name(nd, C.COORDS)[0].get(C.POINTS_ATTR)))
+                        _trusted_points(self.get_point_list(
+                            self.get_child_by_name(nd, C.COORDS)[0].get(C.POINTS_ATTR))))
                     for nd in nds]
         return res
 
@@ -556,8 +562,8 @@ class Page:
                 tl_id,
                 parse_custom_attr(nd.get(C.CUSTOM_ATTR)),
                 self.get_text_equiv(nd),
-                self.get_point_list(bl_nds[0]) if bl_nds else None,
-                self.get_point_list(nd),
+                _trusted_points(self.get_point_list(bl_nds[0])) if bl_nds else None,
+                _trusted_points(self.get_point_list(nd)),
                 self.get_words(nd),
             ))
         return res
@@ -573,7 +579,7 @@ class Page:
             seen.add(w_id)
             res.append(Word(
                 w_id, parse_custom_attr(nd.get(C.CUSTOM_ATTR)),
-                self.get_text_equiv(nd), self.get_point_list(nd)))
+                self.get_text_equiv(nd), _trusted_points(self.get_point_list(nd))))
         return res
 
     def update_textlines(self) -> None:
