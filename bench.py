@@ -136,12 +136,15 @@ class HostLoadMonitor:
 
 
 # Reference seconds for the calibration workload below, measured on the
-# round-5 bench host (1-core 2.1 GHz Xeon, load1 < 0.1). host_speed_index =
-# REF / measured: 1.0 on that machine, > 1 on a faster host, < 1 on a slower
-# one. The e2e wall is host-bound on 1 core, so cross-day pages/s numbers
-# divide by this index to compare code generations (round-4's 20.26 was
-# measured on a host that calibrates ~1.4x faster than round-5's).
-HOST_SPEED_REF_S = 0.383
+# round-5 bench host in its healthy phase (1-core 2.1 GHz Xeon, load1 < 0.1,
+# the phase that produced the 22.55 pages/s record). host_speed_index =
+# REF / measured: ~1.0 on a healthy host, < 1 when the CPU is in a slow
+# phase. The same container measured 0.221 s and 0.383 s hours apart with
+# zero steal and quiet load — the host's effective CPU speed varies ~1.7x
+# over time, and the e2e wall is host-bound on 1 core, so pages/s tracks
+# this index ~1:1 (14.15 pages/s during the 0.383 s phase, 22.55 during
+# the 0.221 s phase, same code generation within a few host-tail commits).
+HOST_SPEED_REF_S = 0.221
 
 
 def host_speed_calibration(reps: int = 3) -> float:
