@@ -63,6 +63,7 @@ def get_data_from_pagexml(path_to_pagexml: str, des_dist: int = 50,
                 for ref_txtline in art_txtlines_dict[article]:
                     if ref_txtline.id == txtline.id:
                         ref_txtline.surr_p = Points(sp_points)
+                        ref_txtline._surr_p_synth = True
         txtline_dict[txtline.id] = (lst_of_normed[i], lst_of_dists[i])
 
     return art_txtlines_dict, txtline_dict
@@ -121,8 +122,20 @@ def create_text_regions(art_txtlines_dict: dict, txtline_dict: dict,
     return out
 
 
-def save_results_in_pagexml(path_to_pagexml: str, text_region_txtline_dict: dict) -> None:
-    """Overwrite the page's TextRegions (textregion_generation.py:102-128)."""
+def save_results_in_pagexml(path_to_pagexml: str, text_region_txtline_dict: dict,
+                            reuse_line_nodes: bool = True) -> None:
+    """Overwrite the page's TextRegions (textregion_generation.py:102-128).
+
+    ``reuse_line_nodes``: the stage only mutates line CUSTOM attrs
+    (readingOrder) — geometry/text/words are untouched — so the existing
+    TextLine DOM nodes can be MOVED into the rebuilt region elements
+    instead of re-serialized from the objects (skips one Points.to_string
+    + etree build per line, ~2-3 ms/page; byte-equivalence with the
+    object-rebuild path is asserted by
+    test_cli.py::test_textregion_save_node_reuse_byte_equal). Lines whose
+    nodes are absent (or whose surr_p was synthesized this stage) fall
+    back to object serialization per line.
+    """
     page_file = Page(path_to_pagexml)
     regions = []
     for region_id, (boundary, txtlines, reading_order) in text_region_txtline_dict.items():
@@ -131,7 +144,10 @@ def save_results_in_pagexml(path_to_pagexml: str, text_region_txtline_dict: dict
             _id=region_id, region_type="paragraph",
             custom={"readingOrder": {"index": reading_order}},
             points=boundary, text_lines=txtlines))
-    page_file.set_text_regions(regions, overwrite=True)
+    if reuse_line_nodes:
+        _rebuild_regions_moving_line_nodes(page_file, regions)
+    else:
+        page_file.set_text_regions(regions, overwrite=True)
     # the region tree was rebuilt from these same TextLine objects, so the
     # textlines snapshot can be refreshed without a DOM re-walk (saves the
     # next stage a full re-derivation). Serialization skips lines without a
@@ -145,6 +161,68 @@ def save_results_in_pagexml(path_to_pagexml: str, text_region_txtline_dict: dict
     if dom_ids == [tl.id for tl in snap]:
         page_file.textlines = snap
     page_file.write_page_xml(path_to_pagexml)
+
+
+def _rebuild_regions_moving_line_nodes(page_file, regions) -> None:
+    """set_text_regions(regions, overwrite=True) twin that MOVES the
+    existing TextLine DOM nodes into the new region elements instead of
+    re-serializing them from the objects. Valid because this stage only
+    changes line custom attrs (rewritten on the moved node); geometry,
+    text and words are byte-identical to what object serialization would
+    produce. A line falls back to object serialization when its node is
+    missing, lacks a Coords child (surr_p then came from the Baseline
+    fallback), or its surr_p was synthesized this stage."""
+    from lxml import etree
+
+    from citlab_as_tpu.pagexml import constants as C
+    from citlab_as_tpu.pagexml.objects import (
+        _append_text_equiv, _pc, format_custom_attr)
+
+    id2nd = {nd.get("id"): nd
+             for nd in page_file.get_child_by_name(page_file.page_doc,
+                                                   C.TEXTLINE)}
+    old_region_nds = page_file.get_child_by_name(page_file.page_doc,
+                                                 C.TEXTREGION)
+    page_nd = page_file.get_child_by_name(page_file.page_doc, "Page")[0]
+    new_nds = []
+    for tr in regions:
+        # attribute/children order mirrors TextRegion.to_page_xml_node:
+        # id, custom, type; Coords, lines, region TextEquiv
+        nd = etree.Element(_pc(C.TEXTREGION))
+        nd.set("id", str(tr.id))
+        if tr.custom:
+            nd.set(C.CUSTOM_ATTR, format_custom_attr(tr.custom))
+        nd.set("type", tr.region_type)
+        coords_nd = etree.SubElement(nd, _pc(C.COORDS))
+        coords_nd.set(C.POINTS_ATTR, tr.points.to_string())
+        texts = []
+        for tl in tr.text_lines:
+            if not tl.surr_p:
+                continue
+            ln = id2nd.get(tl.id)
+            if (ln is None or getattr(tl, "_surr_p_synth", False)
+                    or ln.find(_pc(C.COORDS)) is None):
+                ln = tl.to_page_xml_node()
+                if ln is None:
+                    continue
+            else:
+                if tl.custom:
+                    ln.set(C.CUSTOM_ATTR, format_custom_attr(tl.custom))
+                else:
+                    ln.attrib.pop(C.CUSTOM_ATTR, None)
+                if ln.find(_pc(C.TEXTEQUIV)) is None:
+                    _append_text_equiv(ln, tl.text)
+            nd.append(ln)        # moves the node out of its old region
+            texts.append(tl.text)
+        region_text = "\n".join(t for t in texts if t)
+        if region_text:
+            _append_text_equiv(nd, region_text)
+        new_nds.append(nd)
+    for nd in old_region_nds:    # line nodes were moved out above
+        page_file.remove_page_xml_node(nd)
+    for nd in new_nds:
+        page_nd.append(nd)
+    page_file.mark_dom_mutated()
 
 
 def _create_regions_fast(path_to_pagexml: str, des_dist: int, max_d: int,
@@ -187,6 +265,7 @@ def _create_regions_fast(path_to_pagexml: str, des_dist: int, max_d: int,
             if txtline.surr_p is None:
                 sp = np.concatenate([nci, shifted[::-1]])
                 txtline.surr_p = Points([(int(x), int(y)) for x, y in sp])
+                txtline._surr_p_synth = True
 
     out: Dict[str, tuple] = {}
     counter = 0

@@ -1,6 +1,7 @@
 """CLI + full-workflow smoke tests on synthetic pages."""
 import json
 import os
+import re
 
 import numpy as np
 import pytest
@@ -310,3 +311,37 @@ def test_full_workflow_pipelined_device_swt_matches_sequential(
         a = normalized(tmp_path / "seq" / "page" / f"p{i}.xml.xml")
         b = normalized(tmp_path / "pipe" / "page" / f"p{i}.xml.xml")
         assert a == b, f"page {i} xml differs (device-SWT pipelined vs host)"
+
+
+def test_textregion_save_node_reuse_byte_equal(tmp_path):
+    """The move-based textregion save (reuse_line_nodes=True) must produce
+    byte-identical PAGE-XML to the object-serialization rebuild on pipeline
+    pages (it only relocates existing TextLine nodes + rewrites custom)."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from bench_e2e import make_demo_page
+    from citlab_as_tpu.stages.baseline_clustering import cluster_page
+    from citlab_as_tpu.stages.textregion import (
+        _create_regions_fast, save_results_in_pagexml)
+
+    rng = np.random.RandomState(11)
+    make_demo_page(str(tmp_path), "p0", rng, w=500, h=700)
+    src = tmp_path / "page" / "p0.xml"
+    cluster_page(str(src))
+
+    outs = {}
+    for variant, reuse in (("move", True), ("rebuild", False)):
+        copy = tmp_path / f"{variant}.xml"
+        shutil.copy(src, copy)
+        region_dict = _create_regions_fast(
+            str(copy), des_dist=50, max_d=100, alpha=75)
+        assert region_dict, "native fast path must be available in CI"
+        save_results_in_pagexml(str(copy), region_dict,
+                                reuse_line_nodes=reuse)
+        text = copy.read_text()
+        # LastChange timestamps differ between the two writes
+        outs[variant] = re.sub(r"<LastChange>[^<]*</LastChange>", "", text)
+    assert outs["move"] == outs["rebuild"]
