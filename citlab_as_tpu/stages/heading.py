@@ -289,9 +289,12 @@ class HeadingNetPostProcessor:
         # region @type edits above bypass the Page API: invalidate snapshots.
         # The per-line semantic_type writes were mirrored into the snapshot
         # objects themselves (text_lines IS the snapshot at both call sites),
-        # so re-validate it — region @type lives outside the snapshot.
+        # so re-validate it — region @type lives outside the snapshot. The
+        # identity check keeps an external caller passing a SUBSET list from
+        # clobbering the snapshot with it.
         page_object.mark_dom_mutated()
-        page_object.textlines = text_lines
+        if getattr(page_object, "_textlines_snap", None) is text_lines:
+            page_object.textlines = text_lines
 
     # ------------------------------------------------------------------
     def run(self) -> List:
